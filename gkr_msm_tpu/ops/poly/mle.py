@@ -1,0 +1,113 @@
+"""Dense multilinear-extension toolkit over limb arrays.
+
+A dense MLE over k variables is ``uint32[2^k, n_limbs]`` (Montgomery form),
+index bit (k-1) — the MSB — pairing with coordinate 0 of an evaluation
+point.  This matches the reference's convention where ``evaluate`` binds
+point coordinates in reverse (/root/reference/src/cleanup/polys/dense.rs:21-30)
+and eq tables index the poly's high bits with point prefixes
+(sumchecks/dense_eq.rs:85-131).
+
+Everything is pure/functional (no in-place make_21: with full power-of-two
+padded tables, the reference's jagged-pad corrections are identities — pads
+are explicit zeros, SURVEY.md §7.7 design decision).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import limbs as fl
+from ..field.spec import FieldSpec
+
+
+def scalar(spec: FieldSpec, v: int) -> jnp.ndarray:
+    """Host int -> Montgomery limb vector (constant)."""
+    return jnp.asarray(fl.encode_ints(spec, [v])[0])
+
+
+def field_sum(spec: FieldSpec, arr: jnp.ndarray, flat_len: int | None = None) -> jnp.ndarray:
+    """Sum over leading axis (power-of-two) by halving tree."""
+    m = arr.shape[0]
+    assert m & (m - 1) == 0, "field_sum requires power-of-two length"
+    while m > 1:
+        arr = fl.add(spec, arr[0 : m // 2 * 2 : 2], arr[1 : m // 2 * 2 : 2])
+        m //= 2
+    return arr[0]
+
+
+def bind_low(spec: FieldSpec, poly: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Bind the lowest variable: p'[i] = p[2i] + t*(p[2i+1] - p[2i])."""
+    even = poly[0::2]
+    odd = poly[1::2]
+    return fl.add(spec, even, fl.mul(spec, t, fl.sub(spec, odd, even)))
+
+
+def evaluate(spec: FieldSpec, poly: jnp.ndarray, point: Sequence[int]) -> int:
+    """Exact evaluation at a host point (reverse-order binds, dense.rs:21-30)."""
+    from ..field import limbs as _fl
+
+    cur = poly
+    for coord in reversed(list(point)):
+        cur = bind_low(spec, cur, scalar(spec, coord))
+    return _fl.decode_ints(spec, cur[0])[0]
+
+
+def eq_table(spec: FieldSpec, point: Sequence[int], init: int = 1) -> jnp.ndarray:
+    """eq-poly evaluation table: table[i] = prod_j eq(point[j], bit_j(i)),
+    point[0] at the MSB (utils.rs:222-254 eq_poly_sequence semantics).
+
+    Built by successive low-bit interleaving so each new coordinate becomes
+    the new LSB — O(2^k) field muls total, fully vectorized.
+    """
+    t = jnp.asarray(fl.encode_ints(spec, [init])).reshape(1, spec.n_limbs)
+    for coord in point:
+        c = scalar(spec, coord)
+        hi = fl.mul(spec, t, c)          # bit = 1 branch
+        lo = fl.sub(spec, t, hi)         # bit = 0 branch: t*(1-c)
+        t = jnp.stack([lo, hi], axis=1).reshape(-1, spec.n_limbs)
+    return t
+
+
+def eq_table_sequence(spec: FieldSpec, point: Sequence[int]) -> List[jnp.ndarray]:
+    """All prefix eq tables [[1], eq(p0), eq(p0,p1), ...] (utils.rs:222-254).
+
+    Table k covers point[0..k]; the dense-eq sumcheck pops one per round.
+    """
+    tables = []
+    t = jnp.asarray(fl.encode_ints(spec, [1])).reshape(1, spec.n_limbs)
+    tables.append(t)
+    for coord in point:
+        c = scalar(spec, coord)
+        hi = fl.mul(spec, t, c)
+        lo = fl.sub(spec, t, hi)
+        t = jnp.stack([lo, hi], axis=1).reshape(-1, spec.n_limbs)
+        tables.append(t)
+    return tables
+
+
+def random_poly(spec: FieldSpec, rng, num_vars: int) -> jnp.ndarray:
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << num_vars)]
+    return jnp.asarray(fl.encode_ints(spec, vals))
+
+
+def split_lo(poly: jnp.ndarray) -> tuple:
+    """Split on the LOWEST variable: (p|x0=0, p|x0=1) = (evens, odds)."""
+    return poly[0::2], poly[1::2]
+
+
+def split_hi(poly: jnp.ndarray) -> tuple:
+    """Split on the HIGHEST variable: (first half, second half)."""
+    m = poly.shape[0] // 2
+    return poly[:m], poly[m:]
+
+
+def interleave_lo(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of split_lo."""
+    return jnp.stack([a, b], axis=1).reshape(-1, *a.shape[1:])
+
+
+def concat_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of split_hi."""
+    return jnp.concatenate([a, b], axis=0)
