@@ -24,6 +24,7 @@ poly's MSB.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -33,7 +34,8 @@ from ..ops.field import host as fh
 from ..ops.field import limbs as fl
 from ..ops.field.spec import FR, FieldSpec
 from ..ops.poly import mle
-from ..ops.poly.algfn import AlgFn
+from ..ops.poly.algfn import AlgFn, apply_fn
+from ..ops.poly.rect import RectPoly, _exec_pads
 from ..utils.transcript import Transcript
 
 SUMCHECK_CHALLENGE_BITS = 128  # proof_transcript.rs:8
@@ -54,6 +56,62 @@ class SinglePointClaims:
 # device round kernels
 # -----------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _round_sums_rect(
+    spec: FieldSpec,
+    polys: tuple,
+    fn: AlgFn,
+    eq_seg: jnp.ndarray,
+    row_coefs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rect round sums: f at t=1,2 over the (rows x cap/2) pair grid, weighted
+    by the in-capacity eq table (pairs axis) and row eq coefs (rows axis).
+
+    polys: each uint32[R, C, L]; eq_seg: uint32[C/2, L]; row_coefs: uint32[R, L].
+    Returns uint32[2, n_outs, L].  Mirrors vecvec_eq.rs:302-388 with pads
+    materialized (the logical-tail correction is added on host).
+    """
+    odds = [p[:, 1::2] for p in polys]
+    evens = [p[:, 0::2] for p in polys]
+    at2 = [fl.sub(spec, fl.add(spec, o, o), e) for o, e in zip(odds, evens)]
+    f1 = fn(odds)
+    f2 = fn(at2)
+    sums = []
+    for outs in (f1, f2):
+        per_out = []
+        for o in outs:
+            w = fl.mul(spec, o, eq_seg[None])
+            # sum over pair axis, weight rows, sum over rows
+            rowsum = _axis_field_sum(spec, w, axis=1)
+            rowsum = fl.mul(spec, rowsum, row_coefs)
+            per_out.append(_axis_field_sum(spec, rowsum, axis=0))
+        sums.append(jnp.stack(per_out))
+    return jnp.stack(sums)
+
+
+def _axis_field_sum(spec: FieldSpec, arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Tree-sum field elements over a power-of-two axis."""
+    arr = jnp.moveaxis(arr, axis, 0)
+    m = arr.shape[0]
+    assert m & (m - 1) == 0
+    while m > 1:
+        arr = fl.add(spec, arr[0::2], arr[1::2])
+        m //= 2
+    return arr[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bind_rect(spec: FieldSpec, polys: tuple, t: jnp.ndarray) -> tuple:
+    """Bind the lowest row variable on each rect poly (capacity halves)."""
+    out = []
+    for p in polys:
+        even = p[:, 0::2]
+        odd = p[:, 1::2]
+        out.append(fl.add(spec, even, fl.mul(spec, t[None, None], fl.sub(spec, odd, even))))
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def _round_sums(
     spec: FieldSpec,
     polys: Sequence[jnp.ndarray],
@@ -228,9 +286,198 @@ class DenseDeg2Sumcheck:
         assert expected == ev, "Final combinator check has failed."
         return SinglePointClaims(point=out_point, evs=poly_evs)
 
+    def prove_layer(self, tr, claims, advice):
+        return self.prove(tr, claims, advice)[0]
+
+    def verify_layer(self, tr, claims):
+        return self.verify(tr, claims)
+
 
 def _exec_on_scalars(spec: FieldSpec, fn: AlgFn, scalars: Sequence[int]) -> List[int]:
     """Run an AlgFn on host scalars by round-tripping through 1-element arrays."""
     args = [jnp.asarray(fl.encode_ints(spec, [s])) for s in scalars]
-    outs = fn(args)
+    outs = apply_fn(fn, args)
     return [fl.decode_ints(spec, o)[0] for o in outs]
+
+
+# -----------------------------------------------------------------------------
+# Rect (jagged-equivalent) deg-2 eq sumcheck — the bucket-GKR hot path
+# (sumchecks/vecvec_eq.rs VecVecDeg2Sumcheck, reproduced on RectPoly)
+# -----------------------------------------------------------------------------
+
+class RectSumcheckObject:
+    """Two-stage prover state: Sparse (row vars; rectangular grid + closed-form
+    logical-tail corrections) degenerating into DenseSumcheckObject over the
+    column vars (vecvec_eq.rs:227-250 stage switch)."""
+
+    def __init__(self, spec, polys: Sequence[RectPoly], fn, gamma_pows, claim, point):
+        self.spec = spec
+        self.fn = fn
+        self.gamma_pows = list(gamma_pows)
+        self.claim = claim
+        self.point = list(point)  # full point, MSB first
+        self.row_logsize = polys[0].row_logsize
+        self.col_logsize = polys[0].col_logsize
+        assert len(point) == self.row_logsize + self.col_logsize
+        self.n_data_rows = polys[0].n_data_rows
+        self.row_pads = [p.row_pad for p in polys]
+        self.col_pads = [p.col_pad for p in polys]
+        self.datas = tuple(p.data for p in polys)
+        self.k = 0  # bound row vars
+        self.multiplier = 1
+        self.challenges: List[int] = []
+        self._cached_coeffs: Optional[List[int]] = None
+        self.dense_obj: Optional[DenseSumcheckObject] = None
+        p_mod = spec.modulus
+        cols = self.point[: self.col_logsize]
+        self.row_coefs = mle.eq_table(spec, cols) if self.col_logsize else None
+        self.coef_data_sum = fh.eq_sum(cols, self.n_data_rows, p_mod)
+        self.coef_pad_sum = (1 - self.coef_data_sum) % p_mod
+        # pad images under f (host scalars, reused every sparse round)
+        self.pad_f = _exec_on_scalars(spec, fn, self.row_pads[: fn.n_ins])
+        self.col_f = _exec_on_scalars(spec, fn, self.col_pads[: fn.n_ins])
+
+    def unipoly(self) -> List[int]:
+        if self.dense_obj is not None:
+            return self.dense_obj.unipoly()
+        assert self._cached_coeffs is None
+        p = self.spec.modulus
+        n = len(self.point)
+        cv = self.col_logsize
+        cap = int(self.datas[0].shape[1])
+        s = cap.bit_length() - 2  # log2(cap) - 1 pairs vars
+        # vars above the binding var: q[cv .. n-1-k]; lowest s of them are
+        # in-capacity segment vars, the rest fold as prod(1-q) (padded scale).
+        seg_vars = self.point[n - 1 - self.k - s : n - 1 - self.k]
+        pad_vars = self.point[cv : n - 1 - self.k - s]
+        pad_scale = 1
+        for v in pad_vars:
+            pad_scale = pad_scale * (1 - v) % p
+        eq_seg = mle.eq_table(self.spec, seg_vars, init=pad_scale)
+        row_coefs = (
+            self.row_coefs
+            if self.row_coefs is not None
+            else mle.eq_table(self.spec, [])
+        )
+        sums = _round_sums_rect(
+            self.spec, self.datas, self.fn, eq_seg, row_coefs
+        )
+        sums_host = fl.decode_ints(self.spec, sums)
+        n_o = self.fn.n_outs
+        trail = (1 - pad_scale) % p
+        totals = []
+        for which in (0, 1):  # t=1, t=2
+            vals = []
+            for o in range(n_o):
+                tail = (
+                    trail
+                    * (
+                        self.pad_f[o] * self.coef_data_sum
+                        + self.col_f[o] * self.coef_pad_sum
+                    )
+                    % p
+                )
+                vals.append((sums_host[which * n_o + o] + tail) % p)
+            tot = fh.fold_with_gamma(
+                self.gamma_pows[1] if n_o > 1 else 0, vals, p
+            )
+            totals.append(tot * self.multiplier % p)
+        eq1 = self.point[n - 1 - self.k]
+        coeffs = fh.from12(totals[0], totals[1], eq1, self.claim, p)
+        self._cached_coeffs = coeffs
+        return coeffs
+
+    def bind(self, t: int) -> None:
+        if self.dense_obj is not None:
+            self.dense_obj.bind(t)
+            self.claim = self.dense_obj.claim
+            self.challenges.append(t)
+            return
+        p = self.spec.modulus
+        n = len(self.point)
+        qb = self.point[n - 1 - self.k]
+        self.multiplier = self.multiplier * ((1 - qb - t + 2 * qb * t) % p) % p
+        tl = mle.scalar(self.spec, t)
+        self.datas = _bind_rect(self.spec, self.datas, tl)
+        self.claim = fh.evaluate_univar(self._cached_coeffs, t, p)
+        self._cached_coeffs = None
+        self.challenges.append(t)
+        self.k += 1
+        if self.k == self.row_logsize:
+            cols = [d[:, 0] for d in self.datas]
+            obj = DenseSumcheckObject.new(
+                self.spec,
+                cols,
+                self.fn,
+                self.gamma_pows,
+                self.claim,
+                self.point[: self.col_logsize],
+            )
+            obj.multiplier = self.multiplier
+            self.dense_obj = obj
+        elif int(self.datas[0].shape[1]) == 1:
+            # re-pad rows to capacity 2 (value, pad) for further row binds
+            n_rows = int(self.datas[0].shape[0])
+            new = []
+            for d, rp, cp in zip(self.datas, self.row_pads, self.col_pads):
+                vals = [rp] * self.n_data_rows + [cp] * (n_rows - self.n_data_rows)
+                col = jnp.asarray(fl.encode_ints(self.spec, vals)).reshape(
+                    n_rows, 1, self.spec.n_limbs
+                )
+                new.append(jnp.concatenate([d, col], axis=1))
+            self.datas = tuple(new)
+
+    def final_evals(self) -> List[int]:
+        assert self.dense_obj is not None
+        return self.dense_obj.final_evals()
+
+
+@dataclasses.dataclass
+class RectDeg2Sumcheck:
+    """Protocol: eq-weighted deg-2 sumcheck over rect (jagged) polys
+    (vecvec_eq.rs:400-467).  GKR-layer compatible."""
+
+    fn: AlgFn
+    num_vars: int
+    col_logsize: int
+    spec: FieldSpec = FR
+
+    def degrees(self):
+        return [self.fn.deg + 1] * self.num_vars
+
+    def prove(self, tr: Transcript, claims: SinglePointClaims, polys):
+        assert self.fn.deg == 2
+        p = self.spec.modulus
+        gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+        gamma_pows = fh.make_gamma_pows(gamma, max(self.fn.n_outs, 2), p)
+        folded = fh.fold_with_gamma(gamma, claims.evs, p)
+        obj = RectSumcheckObject(
+            self.spec, polys, self.fn, gamma_pows, folded, claims.point
+        )
+        (final_claim, point), poly_evs = prove_rounds(
+            tr, obj, self.degrees(), folded
+        )
+        poly_evs = poly_evs[: self.fn.n_ins]
+        tr.write_scalars(poly_evs)
+        return SinglePointClaims(point=point, evs=poly_evs), None
+
+    def verify(self, tr: Transcript, claims: SinglePointClaims):
+        p = self.spec.modulus
+        gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+        folded = fh.fold_with_gamma(gamma, claims.evs, p)
+        ev, out_point = verify_rounds(tr, self.degrees(), folded, p)
+        poly_evs = tr.read_scalars(self.fn.n_ins)
+        f_out = _exec_on_scalars(self.spec, self.fn, poly_evs)
+        expected = (
+            fh.fold_with_gamma(gamma, f_out, p)
+            * fh.eq_ev(claims.point, out_point, p)
+            % p
+        )
+        assert expected == ev, "Final combinator check has failed."
+        return SinglePointClaims(point=out_point, evs=poly_evs)
+
+    def prove_layer(self, tr, claims, advice):
+        return self.prove(tr, claims, advice)[0]
+
+    def verify_layer(self, tr, claims):
+        return self.verify(tr, claims)

@@ -107,6 +107,28 @@ def interpolate_from_evals(evals: Sequence[int], p: int) -> List[int]:
     return coeffs
 
 
+def eq_sum(pt: Sequence[int], k: int, p: int) -> int:
+    """Sum of eq(pt, i) for i in 0..k (closed form, utils.rs:265-291).
+
+    pt is MSB-first; k may equal 2^len(pt) (sum = 1)."""
+    n = len(pt)
+    if k >= (1 << n):
+        assert k == 1 << n
+        return 1
+    multiplier = 1
+    acc = 0
+    for i in range(n):
+        left_bit = (k >> (n - i - 1)) & 1
+        prev = multiplier
+        if left_bit:
+            multiplier = multiplier * pt[i] % p
+            acc = (acc + prev - multiplier) % p
+            k -= 1 << (n - i - 1)
+        else:
+            multiplier = multiplier * (1 - pt[i]) % p
+    return acc % p
+
+
 def from12(p1: int, p2: int, eq1: int, previous_claim: int, p: int) -> List[int]:
     """Gruen-style deg-3 round poly from f-evals at t=1,2 + the eq factor.
 

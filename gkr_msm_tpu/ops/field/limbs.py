@@ -47,21 +47,42 @@ def carry_ripple(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
 
     cols: uint32[..., m] column sums; returns uint32[..., out_limbs] with every
     limb < 2^16.  Columns beyond out_limbs (and the final carry) are dropped —
-    callers guarantee the value fits.
+    callers guarantee the value fits.  Implemented as one lax.scan over the
+    limb axis so the traced graph stays O(1) ops.
     """
     m = cols.shape[-1]
-    carry = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
-    outs = []
-    for k in range(out_limbs):
-        t = (cols[..., k] if k < m else jnp.zeros_like(carry)) + carry
-        outs.append(t & MASK)
-        carry = t >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    x = jnp.moveaxis(cols, -1, 0)
+    if m < out_limbs:
+        x = jnp.concatenate(
+            [x, jnp.zeros((out_limbs - m,) + x.shape[1:], dtype=jnp.uint32)]
+        )
+    else:
+        x = x[:out_limbs]
+
+    def step(carry, col):
+        t = col + carry
+        return t >> LIMB_BITS, t & MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros(cols.shape[:-1], dtype=jnp.uint32), x)
+    return jnp.moveaxis(outs, 0, -1)
 
 
 # -----------------------------------------------------------------------------
 # schoolbook multiplication (lazy columns)
 # -----------------------------------------------------------------------------
+
+def _diag_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Anti-diagonal sums: out[k] = sum_i x[..., i, k-i] for x uint32[..., n, m].
+
+    The pad-flatten shear trick: one pad + reshape + sum, no scatters.
+    """
+    n, m = x.shape[-2], x.shape[-1]
+    batch = x.shape[:-2]
+    y = jnp.pad(x, [(0, 0)] * len(batch) + [(0, 0), (0, n)])
+    y = y.reshape(*batch, n * (m + n))[..., : n * (m + n) - n]
+    y = y.reshape(*batch, n, m + n - 1)
+    return jnp.sum(y, axis=-2, dtype=jnp.uint32)
+
 
 def _mul_columns(a: jnp.ndarray, b: jnp.ndarray, n_cols: int) -> jnp.ndarray:
     """Column sums of the schoolbook product, no carries.
@@ -69,23 +90,20 @@ def _mul_columns(a: jnp.ndarray, b: jnp.ndarray, n_cols: int) -> jnp.ndarray:
     a: uint32[..., na] limbs < 2^16;  b: uint32[..., nb] limbs < 2^16.
     Returns uint32[..., n_cols] where col[k] = sum_{i+j==k} lo(a_i*b_j)
     + sum_{i+j==k-1} hi(a_i*b_j).  Each column < 2*min(na,nb)*2^16 < 2^32.
+    One broadcast outer product + two shear-trick diagonal sums.
     """
     na = a.shape[-1]
     nb = b.shape[-1]
-    cols = jnp.zeros(a.shape[:-1] + (n_cols,), dtype=jnp.uint32)
-    for i in range(na):
-        hi_width = min(nb, n_cols - i)
-        if hi_width <= 0:
-            break
-        p = a[..., i : i + 1] * b[..., :hi_width]  # uint32 exact: 16x16 bits
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        cols = cols.at[..., i : i + hi_width].add(lo)
-        if i + 1 < n_cols:
-            cols = cols.at[..., i + 1 : i + 1 + min(hi_width, n_cols - i - 1)].add(
-                hi[..., : n_cols - i - 1]
-            )
-    return cols
+    p = a[..., :, None] * b[..., None, :]  # uint32 exact: 16x16 bits
+    lo = _diag_sum(p & MASK)  # (..., na+nb-1)
+    hi = _diag_sum(p >> LIMB_BITS)
+    batch = lo.shape[:-1]
+    pad = [(0, 0)] * len(batch)
+    cols = jnp.pad(lo, pad + [(0, 1)]) + jnp.pad(hi, pad + [(1, 0)])
+    w = cols.shape[-1]
+    if w >= n_cols:
+        return cols[..., :n_cols]
+    return jnp.pad(cols, pad + [(0, n_cols - w)])
 
 
 def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -100,30 +118,42 @@ def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # -----------------------------------------------------------------------------
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b with borrow ripple. Returns (diff limbs, final borrow 0/1)."""
-    n = a.shape[-1]
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    outs = []
-    for k in range(n):
-        bk = b[..., k] + borrow  # <= 2^16
-        d = (a[..., k] - bk) & MASK
-        borrow = (a[..., k] < bk).astype(jnp.uint32)
-        outs.append(d)
-    return jnp.stack(outs, axis=-1), borrow
+    """a - b with borrow ripple (lax.scan). Returns (diff, final borrow 0/1)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    av = jnp.moveaxis(a, -1, 0)
+    bv = jnp.moveaxis(b, -1, 0)
+
+    def step(borrow, ab):
+        ak, bk = ab
+        bk = bk + borrow  # <= 2^16
+        d = (ak - bk) & MASK
+        return (ak < bk).astype(jnp.uint32), d
+
+    borrow, outs = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (av, bv)
+    )
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _add_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a + b, carried, same limb count (plus final carry column dropped -> use
-    only when the caller reduces afterwards with knowledge the sum fits n+1
-    limbs; we keep n limbs + return carry via cond_sub paths)."""
-    n = a.shape[-1]
-    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    outs = []
-    for k in range(n):
-        t = a[..., k] + b[..., k] + carry
-        outs.append(t & MASK)
-        carry = t >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+    """a + b with carry ripple (lax.scan). Returns (sum limbs, final carry)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    av = jnp.moveaxis(a, -1, 0)
+    bv = jnp.moveaxis(b, -1, 0)
+
+    def step(carry, ab):
+        ak, bk = ab
+        t = ak + bk + carry
+        return t >> LIMB_BITS, t & MASK
+
+    carry, outs = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (av, bv)
+    )
+    return jnp.moveaxis(outs, 0, -1), carry
 
 
 def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -14,8 +14,10 @@ computation over the batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..field import limbs as fl
@@ -40,6 +42,16 @@ class AlgFn:
 
     def describe(self) -> str:
         return f"{self.name} {self.n_ins}->{self.n_outs} deg {self.deg}"
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _apply_fn_jit(fn: "AlgFn", args):
+    return tuple(fn(list(args)))
+
+
+def apply_fn(fn: AlgFn, args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Jitted AlgFn application (one compile per (fn identity, shape))."""
+    return list(_apply_fn_jit(fn, tuple(args)))
 
 
 def id_algfn(n: int) -> AlgFn:

@@ -7,14 +7,15 @@ point coordinates in reverse (/root/reference/src/cleanup/polys/dense.rs:21-30)
 and eq tables index the poly's high bits with point prefixes
 (sumchecks/dense_eq.rs:85-131).
 
-Everything is pure/functional (no in-place make_21: with full power-of-two
-padded tables, the reference's jagged-pad corrections are identities — pads
-are explicit zeros, SURVEY.md §7.7 design decision).
+All heavy entry points are jitted (one compile per shape); host int points
+are encoded to Montgomery limb arrays at the call boundary.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,8 +28,13 @@ def scalar(spec: FieldSpec, v: int) -> jnp.ndarray:
     return jnp.asarray(fl.encode_ints(spec, [v])[0])
 
 
-def field_sum(spec: FieldSpec, arr: jnp.ndarray, flat_len: int | None = None) -> jnp.ndarray:
-    """Sum over leading axis (power-of-two) by halving tree."""
+def encode_point(spec: FieldSpec, point: Sequence[int]) -> jnp.ndarray:
+    """Host ints -> uint32[k, n_limbs] Montgomery."""
+    return jnp.asarray(fl.encode_ints(spec, list(point)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _field_sum(spec: FieldSpec, arr: jnp.ndarray) -> jnp.ndarray:
     m = arr.shape[0]
     assert m & (m - 1) == 0, "field_sum requires power-of-two length"
     while m > 1:
@@ -37,6 +43,12 @@ def field_sum(spec: FieldSpec, arr: jnp.ndarray, flat_len: int | None = None) ->
     return arr[0]
 
 
+def field_sum(spec: FieldSpec, arr: jnp.ndarray, flat_len: int | None = None) -> jnp.ndarray:
+    """Sum over leading axis (power-of-two) by halving tree."""
+    return _field_sum(spec, arr)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def bind_low(spec: FieldSpec, poly: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Bind the lowest variable: p'[i] = p[2i] + t*(p[2i+1] - p[2i])."""
     even = poly[0::2]
@@ -44,30 +56,52 @@ def bind_low(spec: FieldSpec, poly: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return fl.add(spec, even, fl.mul(spec, t, fl.sub(spec, odd, even)))
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _evaluate(spec: FieldSpec, poly: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    cur = poly
+    k = point.shape[0]
+    for i in range(k - 1, -1, -1):
+        even = cur[0::2]
+        odd = cur[1::2]
+        cur = fl.add(spec, even, fl.mul(spec, point[i], fl.sub(spec, odd, even)))
+    return cur[0]
+
+
 def evaluate(spec: FieldSpec, poly: jnp.ndarray, point: Sequence[int]) -> int:
     """Exact evaluation at a host point (reverse-order binds, dense.rs:21-30)."""
-    from ..field import limbs as _fl
+    if len(point) == 0:
+        return fl.decode_ints(spec, poly[0])[0]
+    pt = encode_point(spec, point)
+    return fl.decode_ints(spec, _evaluate(spec, poly, pt))[0]
 
-    cur = poly
-    for coord in reversed(list(point)):
-        cur = bind_low(spec, cur, scalar(spec, coord))
-    return _fl.decode_ints(spec, cur[0])[0]
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_table(spec: FieldSpec, point: jnp.ndarray, init: jnp.ndarray) -> jnp.ndarray:
+    t = init.reshape(1, spec.n_limbs)
+    for i in range(point.shape[0]):
+        hi = fl.mul(spec, t, point[i])  # bit = 1 branch
+        lo = fl.sub(spec, t, hi)  # bit = 0 branch: t*(1-c)
+        t = jnp.stack([lo, hi], axis=1).reshape(-1, spec.n_limbs)
+    return t
 
 
 def eq_table(spec: FieldSpec, point: Sequence[int], init: int = 1) -> jnp.ndarray:
-    """eq-poly evaluation table: table[i] = prod_j eq(point[j], bit_j(i)),
-    point[0] at the MSB (utils.rs:222-254 eq_poly_sequence semantics).
+    """eq-poly evaluation table: table[i] = init * prod_j eq(point[j], bit_j(i)),
+    point[0] at the MSB (utils.rs:222-254 eq_poly_sequence semantics)."""
+    pt = encode_point(spec, list(point))
+    return _eq_table(spec, pt, scalar(spec, init))
 
-    Built by successive low-bit interleaving so each new coordinate becomes
-    the new LSB — O(2^k) field muls total, fully vectorized.
-    """
-    t = jnp.asarray(fl.encode_ints(spec, [init])).reshape(1, spec.n_limbs)
-    for coord in point:
-        c = scalar(spec, coord)
-        hi = fl.mul(spec, t, c)          # bit = 1 branch
-        lo = fl.sub(spec, t, hi)         # bit = 0 branch: t*(1-c)
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_table_seq(spec: FieldSpec, point: jnp.ndarray):
+    t = _eq_table(spec, point[:0], jnp.asarray(np.asarray(spec.one_mont)))
+    tables = [t]
+    for i in range(point.shape[0]):
+        hi = fl.mul(spec, t, point[i])
+        lo = fl.sub(spec, t, hi)
         t = jnp.stack([lo, hi], axis=1).reshape(-1, spec.n_limbs)
-    return t
+        tables.append(t)
+    return tuple(tables)
 
 
 def eq_table_sequence(spec: FieldSpec, point: Sequence[int]) -> List[jnp.ndarray]:
@@ -75,16 +109,8 @@ def eq_table_sequence(spec: FieldSpec, point: Sequence[int]) -> List[jnp.ndarray
 
     Table k covers point[0..k]; the dense-eq sumcheck pops one per round.
     """
-    tables = []
-    t = jnp.asarray(fl.encode_ints(spec, [1])).reshape(1, spec.n_limbs)
-    tables.append(t)
-    for coord in point:
-        c = scalar(spec, coord)
-        hi = fl.mul(spec, t, c)
-        lo = fl.sub(spec, t, hi)
-        t = jnp.stack([lo, hi], axis=1).reshape(-1, spec.n_limbs)
-        tables.append(t)
-    return tables
+    pt = encode_point(spec, list(point))
+    return list(_eq_table_seq(spec, pt))
 
 
 def random_poly(spec: FieldSpec, rng, num_vars: int) -> jnp.ndarray:
