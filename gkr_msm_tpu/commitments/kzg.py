@@ -1,0 +1,173 @@
+"""Non-hiding univariate KZG over BLS12-381.
+
+TPU-native equivalent of /root/reference/src/commitments/kzg.rs: the
+powers-of-tau basis lives on device as projective G1 limb arrays and
+commitments are device Pippenger MSMs; the O(N)-sequential synthetic
+division (kzg.rs:73-81) and the O(1) pairing plane stay on host as exact
+Python ints (pairing once per verify — SURVEY.md §7.8).
+
+Setup: ``mock_setup`` mirrors kzg.rs:84-97 (tau powers of a random scalar).
+The device basis is built by windowed fixed-base multiplication: a host
+precomputed table of g0 multiples per window, then one device gather +
+log-tree add per basis point.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.curve import bls12381 as g1
+from ..ops.curve import pairing as pr
+from ..ops.field import limbs as fl
+from ..ops.field.spec import FQ, FR
+from ..ops.msm import pippenger as msm
+
+Affine = g1.Affine  # host affine tuple or None
+
+
+def div_by_linear(poly: Sequence[int], pt: int, p: int = FR.modulus) -> Tuple[List[int], int]:
+    """Quotient and remainder of poly(x)/(x - pt) (kzg.rs:73-81)."""
+    n = len(poly)
+    quotient = [0] * (n - 1)
+    rem = poly[n - 1] % p
+    for i in range(n - 2, -1, -1):
+        quotient[i] = rem
+        rem = (poly[i] + rem * pt) % p
+    return quotient, rem
+
+
+def ev(poly: Sequence[int], x: int, p: int = FR.modulus) -> int:
+    """Horner evaluation (kzg.rs:142-150)."""
+    acc = 0
+    for c in reversed(list(poly)):
+        acc = (acc * x + c) % p
+    return acc
+
+
+# -- fixed-base batch scalar multiplication (device) ---------------------------
+
+_FB_C = 8  # window bits for the fixed-base table
+
+
+@jax.jit
+def _fixed_base_combine(table: jnp.ndarray, digit_grid: jnp.ndarray) -> jnp.ndarray:
+    """table (n_windows, 2^c, 3, L); digit_grid (N, n_windows) ->
+    points (N, 3, L) = sum_w table[w][digit[i][w]]."""
+    n_windows = table.shape[0]
+    sel = jnp.stack(
+        [jnp.take(table[w], digit_grid[:, w], axis=0) for w in range(n_windows)],
+        axis=1,
+    )  # (N, n_windows, 3, L)
+    while sel.shape[1] > 1:
+        if sel.shape[1] % 2 == 1:
+            pad = g1.g1_neutral((sel.shape[0], 1))
+            sel = jnp.concatenate([sel, pad], axis=1)
+        sel = g1.g1_add(sel[:, 0::2], sel[:, 1::2])
+    return sel[:, 0]
+
+
+def fixed_base_batch(base: Affine, scalars: Sequence[int]) -> jnp.ndarray:
+    """[k_i] -> device (N, 3, L) points k_i * base, via host window tables."""
+    n_bits = FR.bits
+    c = _FB_C
+    n_windows = (n_bits + c - 1) // c
+    # host window tables: table[w][d] = d * 2^(cw) * base
+    tables = []
+    step = base
+    for w in range(n_windows):
+        row = [None]
+        for d in range(1, 1 << c):
+            row.append(g1.Host.add(row[-1], step) if d > 1 else step)
+        tables.append(row)
+        for _ in range(c):
+            step = g1.Host.add(step, step)
+    table_dev = jnp.asarray(
+        np.stack(
+            [g1.encode_affine_to_proj(row) for row in tables]
+        )
+    )  # (n_windows, 2^c, 3, L)
+    limbs = msm.scalars_ints_to_limbs(scalars)
+    digits = msm.scalars_to_digit_matrix(limbs, c, n_bits).T  # (N, n_windows)
+    return _fixed_base_combine(table_dev, jnp.asarray(np.ascontiguousarray(digits.astype(np.int32))))
+
+
+# -- keys ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KzgVerifyingKey:
+    g0: Affine
+    h0: pr.G2Affine
+    h1: pr.G2Affine
+
+    def verify_reduce_to_pair(
+        self, poly_comm: Affine, quotient_comm: Affine, opening_at: int, opening: int
+    ) -> Tuple[Affine, Affine]:
+        """-> (A, B) with e(A, h0) == e(B, h1) (kzg.rs:49-60)."""
+        a = g1.Host.add(
+            g1.Host.add(
+                g1.Host.scalar_mul(opening_at, quotient_comm),
+                g1.Host.neg(g1.Host.scalar_mul(opening, self.g0)),
+            ),
+            poly_comm,
+        )
+        return (a, quotient_comm)
+
+    def verify_pair(self, pair: Tuple[Affine, Affine]) -> None:
+        """Check e(pair0, h0) == e(pair1, h1) (kzg.rs:63-68)."""
+        assert pr.pairing(pair[0], self.h0) == pr.pairing(pair[1], self.h1), (
+            "KZG pairing check failed"
+        )
+
+    def verify_directly(self, poly_comm, quotient_comm, opening_at, opening):
+        self.verify_pair(
+            self.verify_reduce_to_pair(poly_comm, quotient_comm, opening_at, opening)
+        )
+
+
+@dataclasses.dataclass
+class KzgProvingKey:
+    ptau_dev: jnp.ndarray  # (size, 3, L) projective device basis
+    ptau_host: List[Affine]  # host mirror (pushforward basis-bucket commits)
+    h0: pr.G2Affine
+    h1: pr.G2Affine
+
+    @property
+    def size(self) -> int:
+        return int(self.ptau_dev.shape[0])
+
+    @classmethod
+    def mock_setup(cls, tau: int, g0: Affine, h0: pr.G2Affine, size: int) -> "KzgProvingKey":
+        powers = [1] * size
+        for i in range(1, size):
+            powers[i] = powers[i - 1] * tau % FR.modulus
+        pts_dev = fixed_base_batch(g0, powers)
+        pts_host = g1.decode_proj(np.asarray(pts_dev))
+        h1 = pr.g2_scalar_mul(tau, h0)
+        return cls(ptau_dev=pts_dev, ptau_host=pts_host, h0=h0, h1=h1)
+
+    def verifying_key(self) -> KzgVerifyingKey:
+        return KzgVerifyingKey(g0=self.ptau_host[0], h0=self.h0, h1=self.h1)
+
+    def commit(self, poly: Sequence[int]) -> Affine:
+        """MSM of host-int coefficients against the device basis."""
+        n = len(poly)
+        assert n <= self.size, "Vector is too large."
+        limbs = msm.scalars_ints_to_limbs(poly)
+        return msm.msm_host_result(self.ptau_dev[:n], limbs)
+
+    def open(self, poly: Sequence[int], pt: int) -> Tuple[Affine, int]:
+        """Commitment to poly/(x-pt) quotient + the opening (kzg.rs:129-132)."""
+        q, rem = div_by_linear(poly, pt)
+        return self.commit(q), rem
+
+
+def random_kzg_pk(size: int, rng) -> KzgProvingKey:
+    tau = rng.randrange(1, FR.modulus)
+    g0 = g1.Host.random_point(rng)
+    h0 = pr.g2_scalar_mul(rng.randrange(1, pr.R), pr.g2_generator())
+    return KzgProvingKey.mock_setup(tau, g0, h0, size)

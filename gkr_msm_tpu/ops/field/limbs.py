@@ -348,3 +348,18 @@ def decode_ints(spec: FieldSpec, limbs, mont: bool = True):
         v = sum(int(l) << (LIMB_BITS * k) for k, l in enumerate(row))
         outs.append(spec.from_mont_int(v) if mont else v)
     return outs
+
+
+def decode_ints_fast(spec: FieldSpec, limbs, mont: bool = True):
+    """Bulk uint32[..., n_limbs] -> Python ints via packed bytes (fast path
+    for large tables: one tobytes + int.from_bytes per element)."""
+    arr = np.ascontiguousarray(np.asarray(limbs), dtype=np.uint32).reshape(
+        -1, spec.n_limbs
+    )
+    packed = arr.astype("<u2").tobytes()
+    w = 2 * spec.n_limbs
+    out = []
+    for i in range(arr.shape[0]):
+        v = int.from_bytes(packed[i * w : (i + 1) * w], "little")
+        out.append(spec.from_mont_int(v) if mont else v)
+    return out
