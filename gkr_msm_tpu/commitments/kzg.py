@@ -166,6 +166,32 @@ class KzgProvingKey:
         return self.commit(q), rem
 
 
+def dump_kzg_pk(pk: KzgProvingKey, path: str) -> None:
+    """Serialize the SRS (the reference stubs this as todo!(), kzg.rs:99-105;
+    SURVEY.md §5 names the SRS as the artifact worth persisting)."""
+    np.savez_compressed(
+        path,
+        ptau=np.asarray(pk.ptau_dev),
+        h0=np.array([pk.h0[0][0], pk.h0[0][1], pk.h0[1][0], pk.h0[1][1]], dtype=object),
+        h1=np.array([pk.h1[0][0], pk.h1[0][1], pk.h1[1][0], pk.h1[1][1]], dtype=object),
+    )
+
+
+def load_kzg_pk(path: str) -> KzgProvingKey:
+    f = np.load(path, allow_pickle=True)
+    ptau = jnp.asarray(f["ptau"])
+    h0v = [int(x) for x in f["h0"]]
+    h1v = [int(x) for x in f["h1"]]
+    h0 = ((h0v[0], h0v[1]), (h0v[2], h0v[3]))
+    h1 = ((h1v[0], h1v[1]), (h1v[2], h1v[3]))
+    return KzgProvingKey(
+        ptau_dev=ptau,
+        ptau_host=g1.decode_proj(np.asarray(ptau)),
+        h0=h0,
+        h1=h1,
+    )
+
+
 def random_kzg_pk(size: int, rng) -> KzgProvingKey:
     tau = rng.randrange(1, FR.modulus)
     g0 = g1.Host.random_point(rng)

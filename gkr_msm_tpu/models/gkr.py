@@ -143,10 +143,18 @@ class GlueSplit:
     p: int
 
     @staticmethod
-    def witness(polys: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
-        """[p0, p1, d] -> [p0_e, p1_e, p0_o, p1_o, d_e, d_o] (splits.rs:172)."""
-        from ..ops.poly.algfn import id_algfn
+    def witness(polys) -> list:
+        """[p0, p1, d] -> [p0_e, p1_e, p0_o, p1_o, d_e, d_o] (splits.rs:172).
 
+        Dispatches on dense arrays vs RectPolys (the reference operates on
+        VecVecPolynomial, splits.rs:172-177)."""
+        from ..ops.poly.algfn import id_algfn
+        from ..ops.poly.rect import RectPoly, rect_map_split
+
+        if isinstance(polys[0], RectPoly):
+            out = rect_map_split(polys[0:2], id_algfn(2), 2)
+            out.extend(rect_map_split(polys[2:3], id_algfn(1), 1))
+            return out
         out = algfn_map_split(polys[0:2], id_algfn(2), LO(0), 2)
         out.extend(algfn_map_split(polys[2:3], id_algfn(1), LO(0), 1))
         return out

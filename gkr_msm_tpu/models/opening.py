@@ -181,7 +181,9 @@ class FoldedProdObject:
     def unipoly(self) -> List[int]:
         assert self._cached is None
         p = self.spec.modulus
-        sums = _folded_prod_round(self.spec, self.n_args, self.polys, self.gammas_dev)
+        from .sumcheck import _round_pad
+        polys_p, _ = _round_pad(list(self.polys), None)
+        sums = _folded_prod_round(self.spec, self.n_args, tuple(polys_p), self.gammas_dev)
         p1, p2 = fl.decode_ints(self.spec, sums)
         p0 = (self.claim - p1) % p
         coeffs = fh.interpolate_from_evals([p0, p1, p2], p)

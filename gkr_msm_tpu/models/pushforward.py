@@ -1,0 +1,550 @@
+"""Pushforward argument: proves the bucket scatter is consistent.
+
+TPU-native equivalent of
+/root/reference/src/cleanup/protocols/pushforward/pushforward.rs:
+  * PushForwardState (witness gen): digit decomposition + bucket scatter
+    with landing counters (host numpy integer ops + stable sort), the image
+    as RectPolys (device gather), matrix polys c/d/ac on device, phase-1/2
+    commitments via the device Pippenger MSM (small-bitwidth MSMs for the
+    integer-valued c/d matrices);
+  * PushforwardProtocol: logup over [1/c_adj + 1/d_adj] vs tables, then the
+    two interleaved sumchecks (deg-3 Prod3 and eq-weighted AddInverses)
+    sharing one challenge stream, with the final psi^-1 claim algebra.
+
+Layout: the matrix polys are row-wise (y major), size y_size * x_size,
+padded to 2^(y_logsize + x_logsize) during the proof.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commitments.knuckles import KnucklesProvingKey
+from ..ops.curve import bandersnatch as bs
+from ..ops.field import host as fh
+from ..ops.field import limbs as fl
+from ..ops.field.spec import FR, FieldSpec
+from ..ops.msm import pippenger as msm
+from ..ops.poly import mle
+from ..ops.poly.algfn import AlgFn
+from ..ops.poly.rect import RectPoly
+from ..utils.transcript import Transcript
+from . import gkr
+from .logup import LogupMainphase
+from .sumcheck import (
+    SUMCHECK_CHALLENGE_BITS,
+    PlainSumcheckObject,
+    SinglePointClaims,
+)
+from .verifier_polys import EqPoly, EqTruncPoly, SelectorPoly
+
+P = FR.modulus
+
+
+# -- AlgFns -------------------------------------------------------------------
+
+def _add_inverses(args):
+    a, b = args
+    return [fl.add(FR, a, b), fl.mul(FR, a, b)]
+
+
+ADD_INVERSES_FN = AlgFn(_add_inverses, deg=2, n_ins=2, n_outs=2, name="add_inverses")
+
+
+def _prod3(args):
+    a, b, c = args
+    return [fl.mul(FR, fl.mul(FR, a, b), c)]
+
+
+PROD3_FN = AlgFn(_prod3, deg=3, n_ins=3, n_outs=1, name="prod3")
+
+
+# -- small helpers ------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _to_mont_jit(spec, arr):
+    return fl.to_mont(spec, arr)
+
+
+def encode_uint_to_mont(spec: FieldSpec, vals: np.ndarray) -> jnp.ndarray:
+    """numpy uint (< 2^32) -> device Montgomery limb array (N, L)."""
+    vals = np.asarray(vals, dtype=np.uint64).reshape(-1)
+    std = np.zeros((vals.shape[0], spec.n_limbs), dtype=np.uint32)
+    std[:, 0] = vals & 0xFFFF
+    std[:, 1] = (vals >> 16) & 0xFFFF
+    return _to_mont_jit(spec, jnp.asarray(std))
+
+
+def decompose_digits(coefs: Sequence[int], y_size: int, d_logsize: int) -> np.ndarray:
+    """Scalars -> base-2^d digit matrix (y_size, x_size) uint32
+    (pushforward.rs:351-361)."""
+    x_size = len(coefs)
+    n_bits = y_size * d_logsize
+    n_bytes = (n_bits + 7) // 8 + 1
+    raw = np.frombuffer(
+        b"".join(int(c).to_bytes(n_bytes, "little") for c in coefs), dtype=np.uint8
+    ).reshape(x_size, n_bytes)
+    bits = np.unpackbits(raw, axis=1, bitorder="little")  # (x, 8*n_bytes)
+    digits = np.zeros((y_size, x_size), dtype=np.uint32)
+    for y in range(y_size):
+        for i in range(d_logsize):
+            digits[y] |= bits[:, y * d_logsize + i].astype(np.uint32) << i
+    return digits
+
+
+def scatter_counters(digits: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row landing slots.  Returns (counter (y,x), order (y,x), rank (y,x))
+    where order is the stable sort of x by digit (pushforward.rs:390-429)."""
+    y_size, x_size = digits.shape
+    counter = np.zeros_like(digits)
+    orders = np.zeros_like(digits, dtype=np.int64)
+    ranks = np.zeros_like(digits, dtype=np.int64)
+    for y in range(y_size):
+        order = np.argsort(digits[y], kind="stable")
+        sorted_d = digits[y][order]
+        # rank within each digit bucket
+        starts = np.searchsorted(sorted_d, sorted_d, side="left")
+        rank = np.arange(x_size) - starts
+        counter[y][order] = rank
+        orders[y] = order
+        ranks[y][order] = rank
+    return counter, orders, ranks
+
+
+@dataclasses.dataclass
+class PushforwardConfig:
+    x_logsize: int
+    y_logsize: int
+    y_size: int
+    d_logsize: int
+
+    @property
+    def matrix_logsize(self) -> int:
+        return self.x_logsize + self.y_logsize
+
+    @property
+    def matrix_size(self) -> int:
+        return (1 << self.x_logsize) * self.y_size
+
+
+@dataclasses.dataclass
+class Phase1Comm:
+    c: List  # per-multirow commitments (host affine)
+    d: List
+    p_0: object
+    p_1: object
+    ac_c: object
+    ac_d: object
+
+
+@dataclasses.dataclass
+class Phase2Comm:
+    c_pull: List
+    d_pull: List
+
+
+class PushForwardState:
+    """Witness generator + committer (pushforward.rs:304-623)."""
+
+    def __init__(
+        self,
+        points: Sequence[Tuple[int, int]],
+        coefs: Sequence[int],
+        y_size: int,
+        y_logsize: int,
+        d_logsize: int,
+        x_logsize: int,
+        commitment_log_multiplicity: int,
+        commitment_key: KnucklesProvingKey,
+    ):
+        assert len(points) == 1 << x_logsize
+        assert commitment_key.num_vars == x_logsize + commitment_log_multiplicity
+        x_size = 1 << x_logsize
+        self.cfg = PushforwardConfig(x_logsize, y_logsize, y_size, d_logsize)
+        self.clm = commitment_log_multiplicity
+        self.key = commitment_key
+        comm_mul = 1 << self.clm
+
+        digits = decompose_digits(coefs, y_size, d_logsize)
+        counter, orders, _ = scatter_counters(digits)
+        self.digits = digits
+        self.counter = counter
+
+        # ---- image RectPolys: bucket row (y, digit) -> point coords --------
+        # global grid over y_size << d rows; capacity = max occupancy
+        n_rows_data = y_size << d_logsize
+        counts = np.zeros(n_rows_data, dtype=np.int64)
+        for y in range(y_size):
+            bc = np.bincount(digits[y], minlength=1 << d_logsize)
+            counts[y << d_logsize : (y << d_logsize) + (1 << d_logsize)] = bc
+        capacity = 2
+        while capacity < counts.max():
+            capacity *= 2
+        sentinel = x_size  # pad index
+        grid = np.full((n_rows_data, capacity), sentinel, dtype=np.int64)
+        for y in range(y_size):
+            order = orders[y]
+            sorted_d = digits[y][order]
+            starts = np.searchsorted(sorted_d, sorted_d, side="left")
+            rank = np.arange(x_size) - starts
+            grid[(y << d_logsize) + sorted_d, rank] = order
+        # device point tables with the pad appended (pad = (0, 1), dom 0)
+        px = jnp.asarray(
+            np.concatenate([fl.encode_ints(FR, [pt[0] for pt in points]),
+                            fl.encode_ints(FR, [0])])
+        )
+        py = jnp.asarray(
+            np.concatenate([fl.encode_ints(FR, [pt[1] for pt in points]),
+                            fl.encode_ints(FR, [1])])
+        )
+        pdom = jnp.asarray(
+            np.concatenate([fl.encode_ints(FR, [1] * x_size),
+                            fl.encode_ints(FR, [0])])
+        )
+        gidx = jnp.asarray(grid)
+        col_rows = 1 << (y_logsize + d_logsize)
+        def build(tab, row_pad, col_pad):
+            data = jnp.take(tab, gidx, axis=0)  # (n_rows_data, cap, L)
+            if col_rows > n_rows_data:
+                padrow = jnp.broadcast_to(
+                    jnp.asarray(fl.encode_ints(FR, [col_pad])[0]),
+                    (col_rows - n_rows_data, capacity, FR.n_limbs),
+                )
+                data = jnp.concatenate([data, padrow], axis=0)
+            return RectPoly(
+                spec=FR, data=data, row_pad=row_pad, col_pad=col_pad,
+                row_logsize=x_logsize, n_data_rows=n_rows_data,
+            )
+
+        self.image = [build(px, 0, 0), build(py, 1, 1), build(pdom, 0, 0)]
+
+        # ---- matrix polys + access counts ----------------------------------
+        self.c_dev = encode_uint_to_mont(FR, counter.reshape(-1))
+        self.d_dev = encode_uint_to_mont(FR, digits.reshape(-1))
+        self.p0_dev = px[:x_size]
+        self.p1_dev = py[:x_size]
+        ac_c_counts = np.bincount(counter.reshape(-1), minlength=x_size)
+        ac_d_counts = np.bincount(digits.reshape(-1), minlength=1 << d_logsize)
+        self.ac_c_ints = [(-int(v)) % P for v in ac_c_counts]
+        self.ac_d_ints = [(-int(v)) % P for v in ac_d_counts]
+        self.ac_c_dev = jnp.asarray(fl.encode_ints(FR, self.ac_c_ints))
+        self.ac_d_dev = jnp.asarray(fl.encode_ints(FR, self.ac_d_ints))
+
+        # ---- phase 1 commitments -------------------------------------------
+        c_bits = max(int(counter.max()), 1).bit_length()
+        d_bits = max(d_logsize, 1)
+        self.phase_1_comm = Phase1Comm(
+            c=self._commit_int_matrix(counter, c_bits),
+            d=self._commit_int_matrix(digits, d_bits),
+            p_0=self._commit_scalar_dev(self.p0_dev),
+            p_1=self._commit_scalar_dev(self.p1_dev),
+            ac_c=self.key.commit(self.ac_c_ints),
+            ac_d=self.key.commit(self.ac_d_ints),
+        )
+        self.phase_2_comm: Optional[Phase2Comm] = None
+        self.c_pull_dev = None
+        self.d_pull_dev = None
+
+    # -- commit helpers -------------------------------------------------------
+    def _chunks(self, flat: np.ndarray):
+        """Split a (matrix_size,) array into multirow chunks of
+        comm_mul * x_size entries."""
+        chunk = (1 << self.clm) * (1 << self.cfg.x_logsize)
+        return [flat[i : i + chunk] for i in range(0, flat.shape[0], chunk)]
+
+    def _commit_int_matrix(self, mat: np.ndarray, n_bits: int) -> List:
+        out = []
+        for chunk in self._chunks(mat.reshape(-1)):
+            limbs = np.zeros((chunk.shape[0], FR.n_limbs), dtype=np.uint32)
+            limbs[:, 0] = chunk & 0xFFFF
+            limbs[:, 1] = (chunk >> 16) & 0xFFFF
+            out.append(
+                msm.msm_host_result(
+                    self.key.kzg_pk.ptau_dev[: chunk.shape[0]], limbs,
+                    n_bits=max(n_bits, msm.DEFAULT_C),
+                )
+            )
+        return out
+
+    def _commit_scalar_dev(self, poly_mont: jnp.ndarray):
+        limbs = msm.fr_poly_to_scalar_limbs(poly_mont)
+        return msm.msm_host_result(self.key.kzg_pk.ptau_dev[: limbs.shape[0]], limbs)
+
+    def _commit_mont_matrix(self, flat_dev: jnp.ndarray) -> List:
+        limbs = msm.fr_poly_to_scalar_limbs(flat_dev)
+        return [
+            msm.msm_host_result(self.key.kzg_pk.ptau_dev[: ch.shape[0]], ch)
+            for ch in self._chunks(limbs)
+        ]
+
+    # -- phase 2 --------------------------------------------------------------
+    def second_phase(self, r: Sequence[int]) -> None:
+        """Pullback polys c_pull[y][x] = eq_c[counter], d_pull = eq_d[digit]
+        + their commitments (pushforward.rs:572-622)."""
+        assert self.phase_2_comm is None
+        cfg = self.cfg
+        r_y = list(r[: cfg.y_logsize])
+        r_d = list(r[cfg.y_logsize : cfg.y_logsize + cfg.d_logsize])
+        r_c = list(r[cfg.y_logsize + cfg.d_logsize :])
+        assert len(r_c) == cfg.x_logsize
+
+        eq_c = mle.eq_table(FR, r_c)  # (2^x, L) device
+        eq_d = mle.eq_table(FR, r_d)
+        self.c_pull_dev = jnp.take(eq_c, jnp.asarray(self.counter.reshape(-1)), axis=0)
+        self.d_pull_dev = jnp.take(eq_d, jnp.asarray(self.digits.reshape(-1)), axis=0)
+        self.phase_2_comm = Phase2Comm(
+            c_pull=self._commit_mont_matrix(self.c_pull_dev),
+            d_pull=self._commit_mont_matrix(self.d_pull_dev),
+        )
+
+
+# -----------------------------------------------------------------------------
+# the protocol (pushforward.rs:632-969)
+# -----------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PushforwardFinalClaims:
+    gamma: int
+    claims_about_matrix: SinglePointClaims
+    claims_ac_c: SinglePointClaims
+    claims_ac_d: SinglePointClaims
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _linear_combine_adj(spec, pull, cd, psi, tau):
+    """pull + psi*cd - tau elementwise; psi/tau are (L,) Montgomery."""
+    t = fl.mul(spec, cd, psi[None])
+    s = fl.add(spec, pull, t)
+    return fl.sub(spec, s, jnp.broadcast_to(tau[None], s.shape))
+
+
+def _pad_to(arr: jnp.ndarray, size: int, pad_val: int) -> jnp.ndarray:
+    n = arr.shape[0]
+    if n == size:
+        return arr
+    pad = jnp.broadcast_to(
+        jnp.asarray(fl.encode_ints(FR, [pad_val])[0]), (size - n, FR.n_limbs)
+    )
+    return jnp.concatenate([arr, pad], axis=0)
+
+
+@dataclasses.dataclass
+class PushforwardProtocol:
+    x_logsize: int
+    y_logsize: int
+    y_size: int
+    d_logsize: int
+
+    def _parse_point(self, point):
+        y, d, x = self.y_logsize, self.d_logsize, self.x_logsize
+        assert len(point) == y + d + x
+        return list(point[:y]), list(point[y : y + d]), list(point[y + d :])
+
+    def prove(self, tr: Transcript, claims: SinglePointClaims, state: PushForwardState):
+        evs = list(claims.evs)
+        evs[1] = (evs[1] - 1) % P
+        r_y, r_d, r_c = self._parse_point(claims.point)
+
+        x_logsize, y_logsize, d_logsize = self.x_logsize, self.y_logsize, self.d_logsize
+        x_size = 1 << x_logsize
+        y_size = self.y_size
+        matrix_logsize = x_logsize + y_logsize
+        matrix_size = x_size * y_size
+
+        psi, tau_c, tau_d, tau_sup = tr.challenge_vec(4, 512)
+        gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+        gammas = fh.make_gamma_pows(gamma, 5, P)
+
+        psi_m = mle.scalar(FR, psi)
+        c_adj = _linear_combine_adj(FR, state.c_pull_dev, state.c_dev, psi_m, mle.scalar(FR, tau_c))
+        d_adj = _linear_combine_adj(FR, state.d_pull_dev, state.d_dev, psi_m, mle.scalar(FR, tau_d))
+        c_adj = _pad_to(c_adj, 1 << matrix_logsize, tau_sup)
+        d_adj = _pad_to(d_adj, 1 << matrix_logsize, tau_sup)
+
+        c_pull = _pad_to(state.c_pull_dev, 1 << matrix_logsize, 0)
+        d_pull = _pad_to(state.d_pull_dev, 1 << matrix_logsize, 0)
+
+        # fraction pairs: [num, den] = AddInverses(c_adj, d_adj), split hi
+        from ..ops.poly.algfn import apply_fn
+
+        num, den = apply_fn(ADD_INVERSES_FN, [c_adj, d_adj])
+        half = num.shape[0] // 2
+        num_l, num_r = num[:half], num[half:]
+        den_l, den_r = den[:half], den[half:]
+
+        # tables
+        eq_c = mle.eq_table(FR, r_c)
+        eq_d = mle.eq_table(FR, r_d)
+        idx_c = encode_uint_to_mont(FR, np.arange(x_size, dtype=np.uint64))
+        idx_d = encode_uint_to_mont(FR, np.arange(1 << d_logsize, dtype=np.uint64))
+        table_c = _linear_combine_adj(FR, eq_c, idx_c, psi_m, mle.scalar(FR, tau_c))
+        table_d = _linear_combine_adj(FR, eq_d, idx_d, psi_m, mle.scalar(FR, tau_d))
+
+        sup_total = (
+            2 * ((1 << matrix_logsize) - matrix_size) * fh.inv(tau_sup, P) % P
+        )
+
+        mainphase = LogupMainphase(
+            [matrix_logsize - 1, matrix_logsize - 1, x_logsize, d_logsize]
+        )
+        mainphase_claims, _ = mainphase.prove(
+            tr,
+            sup_total,
+            [
+                (num_l, den_l),
+                (num_r, den_r),
+                (state.ac_c_dev, table_c),
+                (state.ac_d_dev, table_d),
+            ],
+        )
+        assert len(mainphase_claims) == 3
+        cd_claims, ac_c_claims, ac_d_claims = mainphase_claims
+
+        split = gkr.SplitAt(gkr.HI(0), 2, P)
+        cd_claims = split.prove_layer(tr, cd_claims, None)
+
+        # p_selector_prod = eq_trunc(r_y)[i_y] * p_folded[i_x]
+        one_m = jnp.asarray(fl.encode_ints(FR, [1])[0])
+        adj_p1 = fl.sub(FR, state.p1_dev, jnp.broadcast_to(one_m[None], state.p1_dev.shape))
+        gamma_m = mle.scalar(FR, gamma)
+        gamma2_m = mle.scalar(FR, gammas[2])
+        p_folded = fl.add(
+            FR,
+            fl.add(FR, state.p0_dev, fl.mul(FR, adj_p1, gamma_m[None])),
+            jnp.broadcast_to(gamma2_m[None], state.p0_dev.shape),
+        )
+        eq_sel_y_host = EqTruncPoly(y_logsize, y_size, r_y).evals()
+        eq_sel_y = jnp.asarray(fl.encode_ints(FR, eq_sel_y_host))
+        p_selector_prod = fl.mul(
+            FR, eq_sel_y[:, None, :], p_folded[None, :, :]
+        ).reshape(1 << matrix_logsize, FR.n_limbs)
+
+        ev_folded = (evs[0] + gammas[1] * evs[1] + gammas[2] * evs[2]) % P
+
+        prod3_obj = PlainSumcheckObject(
+            FR, [p_selector_prod, c_pull, d_pull], PROD3_FN, 0, ev_folded
+        )
+        cd_point, cd_evs = cd_claims.point, cd_claims.evs
+        assert len(cd_evs) == 2
+        claim = (cd_evs[0] + gammas[1] * cd_evs[1] + gammas[2] * ev_folded) % P
+        frac_obj = PlainSumcheckObject(
+            FR, [c_adj, d_adj], ADD_INVERSES_FN, gamma,
+            (cd_evs[0] + gamma * cd_evs[1]) % P, point=cd_point,
+        )
+
+        output_point = []
+        for _ in range(matrix_logsize):
+            pr3 = prod3_obj.unipoly()
+            frc = frac_obj.unipoly()
+            combined = [(frc[i] + gammas[2] * pr3[i]) % P for i in range(4)]
+            assert (2 * combined[0] + combined[1] + combined[2] + combined[3]) % P == claim
+            tr.write_scalars(fh.compress_coefficients(combined))
+            t = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+            claim = fh.evaluate_univar(combined, t, P)
+            output_point.append(t)
+            prod3_obj.bind(t)
+            frac_obj.bind(t)
+        output_point.reverse()
+
+        p_sel_ev, c_pull_ev, d_pull_ev = prod3_obj.final_evals()
+        c_adj_ev, d_adj_ev, _ = frac_obj.final_evals()
+
+        eq_sel = EqTruncPoly(y_logsize, y_size, r_y)
+        adj_p_folded_ev = (
+            p_sel_ev * fh.inv(eq_sel.evaluate(output_point[:y_logsize]), P) % P
+        )
+        p_folded_ev = (adj_p_folded_ev + gamma) % P
+
+        sel_ev = SelectorPoly(y_logsize, y_size).evaluate(output_point[:y_logsize])
+        tmp = tau_sup * (1 - sel_ev) % P
+        psi_inv = fh.inv(psi, P)
+        c_ev = psi_inv * ((c_adj_ev - c_pull_ev + tau_c * sel_ev - tmp) % P) % P
+        d_ev = psi_inv * ((d_adj_ev - d_pull_ev + tau_d * sel_ev - tmp) % P) % P
+
+        output_evs = [p_folded_ev, c_pull_ev, d_pull_ev, c_ev, d_ev]
+        tr.write_scalars(output_evs)
+
+        return (
+            PushforwardFinalClaims(
+                gamma=gamma,
+                claims_about_matrix=SinglePointClaims(point=output_point, evs=output_evs),
+                claims_ac_c=ac_c_claims,
+                claims_ac_d=ac_d_claims,
+            ),
+            None,
+        )
+
+    def verify(self, tr: Transcript, claims: SinglePointClaims) -> PushforwardFinalClaims:
+        evs = list(claims.evs)
+        evs[1] = (evs[1] - 1) % P
+        r_y, r_d, r_c = self._parse_point(claims.point)
+
+        x_logsize, y_logsize, d_logsize = self.x_logsize, self.y_logsize, self.d_logsize
+        x_size = 1 << x_logsize
+        y_size = self.y_size
+        matrix_logsize = x_logsize + y_logsize
+        matrix_size = x_size * y_size
+
+        psi, tau_c, tau_d, tau_sup = tr.challenge_vec(4, 512)
+        gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+        gammas = fh.make_gamma_pows(gamma, 5, P)
+
+        sup_total = (
+            2 * ((1 << matrix_logsize) - matrix_size) * fh.inv(tau_sup, P) % P
+        )
+        mainphase = LogupMainphase(
+            [matrix_logsize - 1, matrix_logsize - 1, x_logsize, d_logsize]
+        )
+        mainphase_claims = mainphase.verify(tr, sup_total)
+        assert len(mainphase_claims) == 3
+        cd_claims, ac_c_claims, ac_d_claims = mainphase_claims
+
+        split = gkr.SplitAt(gkr.HI(0), 2, P)
+        cd_claims = split.verify_layer(tr, cd_claims)
+
+        ev_folded = (evs[0] + gammas[1] * evs[1] + gammas[2] * evs[2]) % P
+        cd_point, cd_evs = cd_claims.point, cd_claims.evs
+        assert len(cd_evs) == 2
+        claim = (cd_evs[0] + gammas[1] * cd_evs[1] + gammas[2] * ev_folded) % P
+
+        output_point = []
+        for _ in range(matrix_logsize):
+            msg = tr.read_scalars(3)
+            combined = fh.decompress_coefficients(msg, claim, P)
+            t = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+            claim = fh.evaluate_univar(combined, t, P)
+            output_point.append(t)
+        output_point.reverse()
+
+        p_folded_ev, c_pull_ev, d_pull_ev, c_ev, d_ev = tr.read_scalars(5)
+        adj_p_folded_ev = (p_folded_ev - gamma) % P
+
+        eq_sel = EqTruncPoly(y_logsize, y_size, r_y)
+        p_sel_ev = adj_p_folded_ev * eq_sel.evaluate(output_point[:y_logsize]) % P
+
+        sel_ev = SelectorPoly(y_logsize, y_size).evaluate(output_point[:y_logsize])
+        tmp = tau_sup * (1 - sel_ev) % P
+        c_adj_ev = (c_pull_ev + psi * c_ev - tau_c * sel_ev + tmp) % P
+        d_adj_ev = (d_pull_ev + psi * d_ev - tau_d * sel_ev + tmp) % P
+
+        eq_cd_ev = fh.eq_ev(cd_point, output_point, P)
+        lhs = (
+            eq_cd_ev * ((c_adj_ev + d_adj_ev + gammas[1] * c_adj_ev * d_adj_ev) % P)
+            + gammas[2] * (c_pull_ev * d_pull_ev % P * p_sel_ev % P)
+        ) % P
+        assert lhs == claim, "Pushforward final check failed"
+
+        return PushforwardFinalClaims(
+            gamma=gamma,
+            claims_about_matrix=SinglePointClaims(
+                point=output_point,
+                evs=[p_folded_ev, c_pull_ev, d_pull_ev, c_ev, d_ev],
+            ),
+            claims_ac_c=ac_c_claims,
+            claims_ac_d=ac_d_claims,
+        )

@@ -40,6 +40,34 @@ from ..utils.transcript import Transcript
 
 SUMCHECK_CHALLENGE_BITS = 128  # proof_transcript.rs:8
 
+import os as _os
+
+# Rounds with live tables below this size run through a FIXED-shape kernel
+# with zero-padded eq weights (exact: padded lanes carry eq = 0, and the
+# plain objects' fns satisfy f(0,..,0) = 0).  This collapses the per-round
+# shape zoo (each halving is a fresh XLA compile) to one compile per fn.
+FIXED_ROUND_SIZE = 1 << int(_os.environ.get("GKR_MSM_FIXED_ROUND_LOG", "10"))
+
+
+def _zpad_axis0(arr: jnp.ndarray, size: int) -> jnp.ndarray:
+    n = arr.shape[0]
+    if n >= size:
+        return arr
+    pad = jnp.zeros((size - n,) + arr.shape[1:], dtype=arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
+def _round_pad(polys, eq_tbl):
+    """Pad (polys, eq) to the fixed round size when below it."""
+    m = polys[0].shape[0]
+    if m >= FIXED_ROUND_SIZE:
+        return polys, eq_tbl
+    t = FIXED_ROUND_SIZE
+    polys = [_zpad_axis0(p, t) for p in polys]
+    if eq_tbl is not None:
+        eq_tbl = _zpad_axis0(eq_tbl, t // 2)
+    return polys, eq_tbl
+
 
 @dataclasses.dataclass
 class SinglePointClaims:
@@ -175,7 +203,8 @@ class DenseSumcheckObject:
         """Round-poly coefficients (deg 3) via the from12 trick."""
         assert self._cached_coeffs is None
         p = self.spec.modulus
-        sums = _round_sums(self.spec, self.polys, self.fn, self.eq_tables[-1])
+        polys_p, eq_p = _round_pad(list(self.polys), self.eq_tables[-1])
+        sums = _round_sums(self.spec, polys_p, self.fn, eq_p)
         sums_host = fl.decode_ints(self.spec, sums)  # 2*n_outs ints
         n_o = self.fn.n_outs
         total1 = fh.fold_with_gamma(self.gamma_pows[1] if n_o > 1 else 0,
@@ -301,6 +330,151 @@ def _exec_on_scalars(spec: FieldSpec, fn: AlgFn, scalars: Sequence[int]) -> List
 
 
 # -----------------------------------------------------------------------------
+# Plain (non-Gruen) sumcheck: gamma-folded multi-output fn, optional eq input
+# (sumcheck.rs:283-347 DenseSumcheckObjectSO + EqWrapper/GammaWrapper)
+# -----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _plain_round_multi(
+    spec: FieldSpec,
+    fn: AlgFn,
+    with_eq: bool,
+    total_deg: int,
+    polys: tuple,
+    gammas: jnp.ndarray,
+) -> jnp.ndarray:
+    """Evals at t = 1..total_deg of sum_x gammafold(f(polys(x))) [* eq(x)].
+
+    polys: n_ins arrays (+ the eq table LAST if with_eq).  Iterated-difference
+    extrapolation: args_t = odd + (t-1)(odd - even).  Returns (total_deg, L).
+    """
+    evens = [pp[0::2] for pp in polys]
+    odds = [pp[1::2] for pp in polys]
+    diffs = [fl.sub(spec, o, e) for o, e in zip(odds, evens)]
+    vals = list(odds)
+    totals = []
+    for t in range(1, total_deg + 1):
+        if t > 1:
+            vals = [fl.add(spec, v, d) for v, d in zip(vals, diffs)]
+        outs = fn(vals[: fn.n_ins])
+        acc = None
+        for i, o in enumerate(outs):
+            w = fl.mul(spec, o, gammas[i][None]) if i > 0 else o
+            acc = w if acc is None else fl.add(spec, acc, w)
+        if with_eq:
+            acc = fl.mul(spec, acc, vals[-1])
+        m = acc.shape[0]
+        while m > 1:
+            acc = fl.add(spec, acc[0::2], acc[1::2])
+            m //= 2
+        totals.append(acc[0])
+    return jnp.stack(totals)
+
+
+class PlainSumcheckObject:
+    """Prover state for sum_x gammafold(f(...)) [* eq_point(x)]; round
+    messages are FULL coefficient vectors of degree total_deg.
+
+    With with_eq, the eq table over `point` is materialized and appended as
+    an extra bound input (the reference's naive DenseEqSumcheckObject,
+    sumcheck.rs:380-416); total degree is fn.deg + 1.
+    """
+
+    def __init__(self, spec, polys, fn, gamma, claim, point=None):
+        self.spec = spec
+        self.fn = fn
+        self.with_eq = point is not None
+        self.total_deg = fn.deg + (1 if self.with_eq else 0)
+        p = spec.modulus
+        self.gamma_pows = fh.make_gamma_pows(gamma, max(fn.n_outs, 1), p)
+        self.gammas_dev = jnp.asarray(fl.encode_ints(spec, self.gamma_pows))
+        self.claim = claim
+        self.challenges: List[int] = []
+        self._cached: Optional[List[int]] = None
+        polys = list(polys)
+        if self.with_eq:
+            polys.append(mle.eq_table(spec, point))
+        self.polys = tuple(polys)
+
+    def unipoly(self) -> List[int]:
+        assert self._cached is None
+        p = self.spec.modulus
+        polys_p, _ = _round_pad(list(self.polys), None)
+        sums = _plain_round_multi(
+            self.spec, self.fn, self.with_eq, self.total_deg,
+            tuple(polys_p), self.gammas_dev,
+        )
+        evals = fl.decode_ints(self.spec, sums)  # P(1..total_deg)
+        p0 = (self.claim - evals[0]) % p
+        coeffs = fh.interpolate_from_evals([p0] + evals, p)
+        self._cached = coeffs
+        return coeffs
+
+    def bind(self, t: int) -> None:
+        tl = mle.scalar(self.spec, t)
+        self.polys = _bind_tuple(self.spec, self.polys, tl)
+        self.claim = fh.evaluate_univar(self._cached, t, self.spec.modulus)
+        self._cached = None
+        self.challenges.append(t)
+
+    def final_evals(self) -> List[int]:
+        return [fl.decode_ints(self.spec, pp[0])[0] for pp in self.polys]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bind_tuple(spec: FieldSpec, polys: tuple, t: jnp.ndarray) -> tuple:
+    out = []
+    for pp in polys:
+        even = pp[0::2]
+        odd = pp[1::2]
+        out.append(fl.add(spec, even, fl.mul(spec, t, fl.sub(spec, odd, even))))
+    return tuple(out)
+
+
+@dataclasses.dataclass
+class DenseEqSumcheckNaive:
+    """Eq-weighted multi-output dense sumcheck, naive (no Gruen trick) —
+    the reference's DenseEqSumcheck (sumcheck.rs:831-889), used by the
+    logup main phase.  Handles num_vars == 0 (no rounds, direct evals)."""
+
+    fn: AlgFn
+    num_vars: int
+    spec: FieldSpec = FR
+
+    def degrees(self):
+        return [self.fn.deg + 1] * self.num_vars
+
+    def prove(self, tr: Transcript, claims: SinglePointClaims, polys):
+        p = self.spec.modulus
+        gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+        folded = fh.fold_with_gamma(gamma, claims.evs, p)
+        obj = PlainSumcheckObject(
+            self.spec, polys, self.fn, gamma, folded, point=claims.point
+        )
+        (final_claim, point), poly_evs = prove_rounds(
+            tr, obj, self.degrees(), folded
+        )
+        poly_evs = poly_evs[: self.fn.n_ins]  # drop the eq input
+        tr.write_scalars(poly_evs)
+        return SinglePointClaims(point=point, evs=poly_evs), None
+
+    def verify(self, tr: Transcript, claims: SinglePointClaims):
+        p = self.spec.modulus
+        gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+        folded = fh.fold_with_gamma(gamma, claims.evs, p)
+        ev, out_point = verify_rounds(tr, self.degrees(), folded, p)
+        poly_evs = tr.read_scalars(self.fn.n_ins)
+        f_out = _exec_on_scalars(self.spec, self.fn, poly_evs)
+        expected = (
+            fh.fold_with_gamma(gamma, f_out, p)
+            * fh.eq_ev(claims.point, out_point, p)
+            % p
+        )
+        assert expected == ev, "Final combinator check has failed."
+        return SinglePointClaims(point=out_point, evs=poly_evs)
+
+
+# -----------------------------------------------------------------------------
 # Rect (jagged-equivalent) deg-2 eq sumcheck — the bucket-GKR hot path
 # (sumchecks/vecvec_eq.rs VecVecDeg2Sumcheck, reproduced on RectPoly)
 # -----------------------------------------------------------------------------
@@ -323,6 +497,7 @@ class RectSumcheckObject:
         self.row_pads = [p.row_pad for p in polys]
         self.col_pads = [p.col_pad for p in polys]
         self.datas = tuple(p.data for p in polys)
+        self.cap0 = int(self.datas[0].shape[1])  # fixed round-kernel capacity
         self.k = 0  # bound row vars
         self.multiplier = 1
         self.challenges: List[int] = []
@@ -359,8 +534,26 @@ class RectSumcheckObject:
             if self.row_coefs is not None
             else mle.eq_table(self.spec, [])
         )
+        # fixed-shape round kernel: zero-pad the capacity axis back to cap0
+        # (extra lanes carry eq_seg = 0, so sums are exact)
+        datas = self.datas
+        if cap < self.cap0:
+            datas = tuple(
+                jnp.concatenate(
+                    [
+                        d,
+                        jnp.zeros(
+                            (d.shape[0], self.cap0 - cap, d.shape[2]),
+                            dtype=d.dtype,
+                        ),
+                    ],
+                    axis=1,
+                )
+                for d in datas
+            )
+            eq_seg = _zpad_axis0(eq_seg, self.cap0 // 2)
         sums = _round_sums_rect(
-            self.spec, self.datas, self.fn, eq_seg, row_coefs
+            self.spec, datas, self.fn, eq_seg, row_coefs
         )
         sums_host = fl.decode_ints(self.spec, sums)
         n_o = self.fn.n_outs

