@@ -1,0 +1,258 @@
+"""Single-dispatch sumcheck prover: all rounds + Fiat–Shamir on device.
+
+The per-round host↔device ping-pong (round kernel → readback → host sponge →
+challenge upload → bind) costs two dispatches per round; through a remote
+TPU tunnel that is ~40 ms/round of pure latency. This module runs the ENTIRE
+deg-2 eq-factored sumcheck — round sums (fused Pallas kernels), the Gruen
+`from12` claim algebra, the SHA-256 sponge (utils/sha256_jnp.py), challenge
+derivation, and binds — inside ONE jitted device program.  The host then
+replays the returned round messages through its own transcript (bit-identical
+sponge), so the proof byte stream and all downstream challenges are exactly
+those of the unfused path (asserted in tests/test_fused_prover.py).
+
+The reference has no analog (merlin sponge is host-only,
+proof_transcript.rs:76-147); this is a TPU-native architecture choice.
+All per-round eq-point constants (eq(t) factors, 1/(1-pt)) are host
+precomputed and passed as device inputs, so one compile serves every
+instance with the same (fn, num_vars).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field import host as fh
+from ..ops.field import limbs as fl
+from ..ops.field.spec import FR, FieldSpec
+from ..ops.poly.algfn import AlgFn
+from ..utils import sha256_jnp as shj
+
+P = FR.modulus
+
+
+# -----------------------------------------------------------------------------
+# scalar <-> sponge-word packing (16-bit LE limbs <-> 32-bit BE words)
+# -----------------------------------------------------------------------------
+
+def _std_limbs_to_words(s: jnp.ndarray) -> jnp.ndarray:
+    """(16,) standard-form 16-bit limbs -> (8,) BE uint32 words of the
+    32-byte little-endian scalar encoding (Transcript.write_scalars)."""
+    l = s.astype(jnp.uint32)
+    lo = l[0::2]
+    hi = l[1::2]
+    return (
+        ((lo & 0xFF) << 24)
+        | ((lo >> 8) << 16)
+        | ((hi & 0xFF) << 8)
+        | (hi >> 8)
+    )
+
+
+def _digest16_to_limbs(d4: jnp.ndarray) -> jnp.ndarray:
+    """(4,) BE words (first 16 digest bytes) -> (16,) 16-bit limbs of the
+    128-bit little-endian challenge integer (Transcript.challenge(128))."""
+    b = []
+    for k in range(16):
+        w = d4[k // 4]
+        b.append((w >> ((3 - (k % 4)) * 8)) & 0xFF)
+    limbs = [b[2 * j] | (b[2 * j + 1] << 8) for j in range(8)]
+    limbs += [jnp.uint32(0)] * 8
+    return jnp.stack(limbs)
+
+
+# -----------------------------------------------------------------------------
+# device scalar field helpers ((16,) Montgomery vectors)
+# -----------------------------------------------------------------------------
+
+def _smul(a, b):
+    return fl.mul(FR, a[None], b[None])[0]
+
+
+def _sadd(a, b):
+    return fl.add(FR, a[None], b[None])[0]
+
+
+def _ssub(a, b):
+    return fl.sub(FR, a[None], b[None])[0]
+
+
+def _enc(vals: Sequence[int]) -> np.ndarray:
+    return fl.encode_ints(FR, list(vals))
+
+
+# -----------------------------------------------------------------------------
+# the fused prover
+# -----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("fn", "use_pallas"))
+def _device_rounds(
+    fn: AlgFn,
+    use_pallas: bool,
+    polys: Tuple[jnp.ndarray, ...],
+    eq_tables: Tuple[jnp.ndarray, ...],  # eq_tables[r] is round r's table
+    state0: jnp.ndarray,  # (8,) sponge words
+    claim0: jnp.ndarray,  # (16,) mont
+    gamma_pows: jnp.ndarray,  # (n_outs, 16) mont
+    rc: jnp.ndarray,  # (R, 6, 16) mont per-round constants:
+    #   [eq1, eq2, eq3, inv_eq0, c_a=(1-pt), c_b=(2pt-1)]
+):
+    from ..models.sumcheck import _round_sums
+    from ..ops.pallas import sumcheck_kernels as sk
+    from ..ops.poly import mle
+
+    R = len(eq_tables)
+    n_o = fn.n_outs
+    polys = list(polys)
+    state = state0
+    claim = claim0
+    multiplier = jnp.asarray(np.asarray(FR.one_mont, dtype=np.uint32))
+    inv2 = jnp.asarray(_enc([fh.inv(2, P)])[0])
+    inv6 = jnp.asarray(_enc([fh.inv(6, P)])[0])
+    two = jnp.asarray(_enc([2])[0])
+    three = jnp.asarray(_enc([3])[0])
+    r2 = jnp.asarray(np.asarray(FR.r2_limbs, dtype=np.uint32))
+
+    msgs = []
+    challenges = []
+    for r in range(R):
+        eq1, eq2, eq3, inv_eq0, c_a, c_b = (rc[r, i] for i in range(6))
+        m = polys[0].shape[0]
+        if use_pallas and sk.should_use(FR, fn, m):
+            sums = sk.fused_round(FR, polys, fn, eq_tables[r])
+        else:
+            sums = _round_sums(FR, polys, fn, eq_tables[r])
+        # gamma-fold the outputs, scale by the eq multiplier
+        def fold(row):
+            w = fl.mul(FR, row, gamma_pows)
+            acc = w[0]
+            for i in range(1, n_o):
+                acc = _sadd(acc, w[i])
+            return acc
+
+        total1 = _smul(fold(sums[0]), multiplier)
+        total2 = _smul(fold(sums[1]), multiplier)
+        # from12 (host.py:132-146) in Montgomery form with per-round consts
+        prod1 = _smul(total1, eq1)
+        prod0 = _ssub(claim, prod1)
+        p0 = _smul(prod0, inv_eq0)
+        p3 = _sadd(
+            _ssub(_smul(three, total2), _smul(three, total1)), p0
+        )
+        e0, e1 = prod0, prod1
+        e2 = _smul(total2, eq2)
+        e3 = _smul(p3, eq3)
+        # interpolate_at_0123 (host.py:70-85)
+        d1 = _ssub(e1, e0)
+        d2 = _sadd(_ssub(e2, _smul(two, e1)), e0)
+        d3 = _sadd(
+            _ssub(e3, _smul(three, e2)), _ssub(_smul(three, e1), e0)
+        )
+        c0 = e0
+        c1 = _sadd(
+            _ssub(d1, _smul(d2, inv2)), _smul(_smul(d3, inv6), two)
+        )
+        c2 = _ssub(_smul(d2, inv2), _smul(d3, inv2))
+        c3 = _smul(d3, inv6)
+        # round message = compressed coeffs [c0, c2, c3] in standard form
+        msg_std = jnp.stack(
+            [fl.from_mont(FR, c[None])[0] for c in (c0, c2, c3)]
+        )  # (3, 16)
+        msgs.append(msg_std)
+        payload = jnp.concatenate([_std_limbs_to_words(msg_std[i]) for i in range(3)])
+        state = shj.absorb(state, payload, 96)
+        d4, state = shj.squeeze128_and_ratchet(state)
+        x_std = _digest16_to_limbs(d4)
+        challenges.append(x_std)
+        x = _smul(x_std, r2)  # to Montgomery (128-bit value < p: no reduction)
+        # bind all polys at x
+        if use_pallas and sk.should_use_bind(m):
+            polys = sk.fused_bind(FR, polys, x)
+        else:
+            polys = [mle.bind_low(FR, p_, x) for p_ in polys]
+        # multiplier *= (1 - pt) + x*(2pt - 1);  claim = evaluate_univar(c, x)
+        multiplier = _smul(multiplier, _sadd(c_a, _smul(x, c_b)))
+        claim = _sadd(
+            _smul(_sadd(_smul(_sadd(_smul(c3, x), c2), x), c1), x), c0
+        )
+
+    final_evals = jnp.stack([p_[0] for p_ in polys])  # (n_ins, 16) mont
+    return jnp.stack(msgs), jnp.stack(challenges), final_evals
+
+
+def prove_rounds_device(
+    tr,
+    fn: AlgFn,
+    polys: Sequence[jnp.ndarray],
+    point: List[int],
+    gamma_pows: List[int],
+    claim: int,
+):
+    """Drive all rounds on device, then replay messages through the host
+    transcript. Mirrors models/sumcheck.prove_rounds' outputs:
+    ((final_claim, reversed challenges), final_evals)."""
+    from ..ops.pallas import field_kernels as fk
+
+    R = len(point)
+    n_o = fn.n_outs
+    # per-round eq-point constants, host side (point[-1] bound first)
+    rows = []
+    for r in range(R):
+        pt = point[-1 - r] % P
+        eq1 = pt
+        eq0 = (1 - pt) % P
+        eq2 = (2 * eq1 - eq0) % P
+        eq3 = (2 * eq2 - eq1) % P
+        rows.extend([eq1, eq2, eq3, fh.inv(eq0, P), eq0, (2 * pt - 1) % P])
+    rc = jnp.asarray(_enc(rows).reshape(R, 6, FR.n_limbs))
+    from ..ops.poly import mle
+
+    eq_seq = mle.eq_table_sequence(FR, point[:-1]) if point else []
+    eq_tables = tuple(eq_seq[-1 - r] for r in range(R))
+    state0 = jnp.asarray(shj.state_from_host(tr._state))
+    gp = jnp.asarray(_enc(gamma_pows[:n_o] + [0] * max(0, n_o - len(gamma_pows))))
+    claim0 = jnp.asarray(_enc([claim])[0])
+
+    msgs, xs, fin = _device_rounds(
+        fn,
+        fk._FORCE != "0",
+        tuple(polys),
+        eq_tables,
+        state0,
+        claim0,
+        gp,
+        rc,
+    )
+    msgs = np.asarray(msgs)
+    xs_host = np.asarray(xs)
+    fin = np.asarray(fin)
+
+    # host replay: identical byte stream + challenges (sponges are twins)
+    p = P
+    cur = claim
+    r_list = []
+    for r in range(R):
+        msg_ints = fl.decode_ints(FR, msgs[r], mont=False)
+        tr.write_scalars(msg_ints)
+        x = tr.challenge(128)
+        dev_x = fl.decode_ints(FR, xs_host[r], mont=False)[0]
+        assert x == dev_x, "device/host sponge mismatch"
+        coeffs = fh.decompress_coefficients(msg_ints, cur, p)
+        cur = fh.evaluate_univar(coeffs, x, p)
+        r_list.append(x)
+    r_list.reverse()
+    final_evals = fl.decode_ints(FR, fin)
+    return (cur, r_list), final_evals
+
+
+def should_use(fn: AlgFn, num_vars: int) -> bool:
+    from ..ops.pallas import field_kernels as fk
+
+    if fk._FORCE == "0":
+        return False
+    if fk._FORCE != "1" and not fk._backend_is_tpu():
+        return False
+    return fn.ops_fn is not None and num_vars >= 12

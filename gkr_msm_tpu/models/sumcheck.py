@@ -203,8 +203,15 @@ class DenseSumcheckObject:
         """Round-poly coefficients (deg 3) via the from12 trick."""
         assert self._cached_coeffs is None
         p = self.spec.modulus
-        polys_p, eq_p = _round_pad(list(self.polys), self.eq_tables[-1])
-        sums = _round_sums(self.spec, polys_p, self.fn, eq_p)
+        from ..ops.pallas import sumcheck_kernels as sk
+
+        if sk.should_use(self.spec, self.fn, self.polys[0].shape[0]):
+            sums = sk.fused_round(
+                self.spec, self.polys, self.fn, self.eq_tables[-1]
+            )
+        else:
+            polys_p, eq_p = _round_pad(list(self.polys), self.eq_tables[-1])
+            sums = _round_sums(self.spec, polys_p, self.fn, eq_p)
         sums_host = fl.decode_ints(self.spec, sums)  # 2*n_outs ints
         n_o = self.fn.n_outs
         total1 = fh.fold_with_gamma(self.gamma_pows[1] if n_o > 1 else 0,
@@ -224,7 +231,12 @@ class DenseSumcheckObject:
             self.multiplier * ((1 - pt - t + 2 * pt * t) % p) % p
         )
         tl = mle.scalar(self.spec, t)
-        self.polys = _bind_all(self.spec, self.polys, tl)
+        from ..ops.pallas import sumcheck_kernels as sk
+
+        if sk.should_use_bind(self.polys[0].shape[0]):
+            self.polys = sk.fused_bind(self.spec, self.polys, tl)
+        else:
+            self.polys = _bind_all(self.spec, self.polys, tl)
         self.point.pop()
         self.eq_tables.pop()
         self.challenges.append(t)
@@ -290,12 +302,21 @@ class DenseDeg2Sumcheck:
         gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
         gamma_pows = fh.make_gamma_pows(gamma, max(self.fn.n_outs, 2), p)
         folded = fh.fold_with_gamma(gamma, claims.evs, p)
-        obj = DenseSumcheckObject.new(
-            self.spec, polys, self.fn, gamma_pows, folded, claims.point
-        )
-        (final_claim, point), poly_evs = prove_rounds(
-            tr, obj, self.degrees(), folded
-        )
+        from . import fused_prover as fp
+
+        if self.spec is FR and fp.should_use(self.fn, self.num_vars):
+            # single-dispatch device prover: all rounds + sponge on device,
+            # byte-identical transcript (models/fused_prover.py)
+            (final_claim, point), poly_evs = fp.prove_rounds_device(
+                tr, self.fn, list(polys), list(claims.point), gamma_pows, folded
+            )
+        else:
+            obj = DenseSumcheckObject.new(
+                self.spec, polys, self.fn, gamma_pows, folded, claims.point
+            )
+            (final_claim, point), poly_evs = prove_rounds(
+                tr, obj, self.degrees(), folded
+            )
         tr.write_scalars(poly_evs)
         return SinglePointClaims(point=point, evs=poly_evs), None
 

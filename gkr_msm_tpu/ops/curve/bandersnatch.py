@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import limbs as fl
+from ..field.fieldops import StdOps
 from ..field.spec import FR, FieldSpec
 from ..poly.algfn import AlgFn
 
@@ -53,65 +54,68 @@ def mul_by_d(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # -----------------------------------------------------------------------------
-# GKR layer maps (twisted_edwards_ops.rs:10-80)
+# GKR layer maps (twisted_edwards_ops.rs:10-80), written once against the
+# field-ops protocol (ops/field/fieldops.py) so the same formulas run on
+# standard-layout arrays AND on transposed values inside fused Pallas kernels.
 # -----------------------------------------------------------------------------
 
-def affine_add_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def ops_mul_by_a(o, x):
+    """-5*x as double,double,add,negate (utils.rs:40-45)."""
+    return o.neg(o.add(o.double(o.double(x)), x))
+
+
+def affine_l1_ops(o, args):
     x1, y1, x2, y2 = args
     return [
-        fl.mul(FR, x1, y2),
-        fl.mul(FR, x2, y1),
-        fl.sub(FR, fl.mul(FR, y1, y2), mul_by_a(fl.mul(FR, x1, x2))),
+        o.mul(x1, y2),
+        o.mul(x2, y1),
+        o.sub(o.mul(y1, y2), ops_mul_by_a(o, o.mul(x1, x2))),
     ]
 
 
-def affine_add_l2(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def affine_l2_ops(o, args):
     x1y2, x2y1, y1y2_ax1x2 = args
-    return [
-        fl.add(FR, x1y2, x2y1),
-        y1y2_ax1x2,
-        fl.mul(FR, x1y2, x2y1),
-    ]
+    return [o.add(x1y2, x2y1), y1y2_ax1x2, o.mul(x1y2, x2y1)]
 
 
-def affine_add_l3(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def affine_l3_ops(o, args):
     x, y, xy = args
-    d_xy = mul_by_d(xy)
-    one = fl.ones_mont(FR, d_xy.shape[:-1])
-    m = fl.sub(FR, one, d_xy)
-    p = fl.add(FR, one, d_xy)
-    return [fl.mul(FR, m, x), fl.mul(FR, p, y), fl.mul(FR, m, p)]
+    d_xy = o.mul_const(xy, _d_mont())
+    one = o.one_like(d_xy)
+    m = o.sub(one, d_xy)
+    p = o.add(one, d_xy)
+    return [o.mul(m, x), o.mul(p, y), o.mul(m, p)]
 
 
-def proj_add_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def proj_l1_ops(o, args):
     x1, y1, z1, x2, y2, z2 = args
     return [
-        fl.mul(FR, x1, y2),
-        fl.mul(FR, x2, y1),
-        fl.sub(FR, fl.mul(FR, y1, y2), mul_by_a(fl.mul(FR, x1, x2))),
-        fl.mul(FR, z1, z2),
+        o.mul(x1, y2),
+        o.mul(x2, y1),
+        o.sub(o.mul(y1, y2), ops_mul_by_a(o, o.mul(x1, x2))),
+        o.mul(z1, z2),
     ]
 
 
-def proj_add_l2(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def proj_l2_ops(o, args):
     x1y2, x2y1, y1y2_ax1x2, z1z2 = args
     return [
-        fl.mul(FR, fl.add(FR, x1y2, x2y1), z1z2),
-        fl.mul(FR, y1y2_ax1x2, z1z2),
-        fl.square(FR, z1z2),
-        fl.mul(FR, x1y2, x2y1),
+        o.mul(o.add(x1y2, x2y1), z1z2),
+        o.mul(y1y2_ax1x2, z1z2),
+        o.square(z1z2),
+        o.mul(x1y2, x2y1),
     ]
 
 
-def proj_add_l3(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def proj_l3_ops(o, args):
     x, y, z2, xy = args
-    d_xy = mul_by_d(xy)
-    m = fl.sub(FR, z2, d_xy)
-    p = fl.add(FR, z2, d_xy)
-    return [fl.mul(FR, m, x), fl.mul(FR, p, y), fl.mul(FR, m, p)]
+    d_xy = o.mul_const(xy, _d_mont())
+    m = o.sub(z2, d_xy)
+    p = o.add(z2, d_xy)
+    return [o.mul(m, x), o.mul(p, y), o.mul(m, p)]
 
 
-def triangle_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+def triangle_l1_ops(o, args):
     """12->12 diagonal step (twisted_edwards_ops.rs:67-80): inputs are four
     3-coordinate bundles [a|b|c|d_] laid out as (a,b) then (c,d_); outputs
     l1(a,c) ++ l1(b,d_) ++ l1(c,d_)."""
@@ -121,21 +125,59 @@ def triangle_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     c = args[6:9]
     d_ = args[9:12]
     return (
-        proj_add_l1(list(a) + list(c))
-        + proj_add_l1(list(b) + list(d_))
-        + proj_add_l1(list(c) + list(d_))
+        proj_l1_ops(o, list(a) + list(c))
+        + proj_l1_ops(o, list(b) + list(d_))
+        + proj_l1_ops(o, list(c) + list(d_))
     )
+
+
+_STD = StdOps(FR)
+
+
+def affine_add_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return affine_l1_ops(_STD, args)
+
+
+def affine_add_l2(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return affine_l2_ops(_STD, args)
+
+
+def affine_add_l3(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return affine_l3_ops(_STD, args)
+
+
+def proj_add_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return proj_l1_ops(_STD, args)
+
+
+def proj_add_l2(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return proj_l2_ops(_STD, args)
+
+
+def proj_add_l3(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return proj_l3_ops(_STD, args)
+
+
+def triangle_l1(args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    return triangle_l1_ops(_STD, args)
 
 
 # AlgFn wrappers with the reference's (deg, n_ins, n_outs) table
 # (twisted_edwards_ops.rs:151-157)
-AFFINE_L1 = AlgFn(affine_add_l1, deg=2, n_ins=4, n_outs=3, name="affine_te_l1")
-AFFINE_L2 = AlgFn(affine_add_l2, deg=2, n_ins=3, n_outs=3, name="affine_te_l2")
-AFFINE_L3 = AlgFn(affine_add_l3, deg=2, n_ins=3, n_outs=3, name="affine_te_l3")
-PROJ_L1 = AlgFn(proj_add_l1, deg=2, n_ins=6, n_outs=4, name="te_l1")
-PROJ_L2 = AlgFn(proj_add_l2, deg=2, n_ins=4, n_outs=4, name="te_l2")
-PROJ_L3 = AlgFn(proj_add_l3, deg=2, n_ins=4, n_outs=3, name="te_l3")
-TRIANGLE_L1 = AlgFn(triangle_l1, deg=2, n_ins=12, n_outs=12, name="triangle_te_l1")
+AFFINE_L1 = AlgFn(affine_add_l1, deg=2, n_ins=4, n_outs=3, name="affine_te_l1",
+                  ops_fn=affine_l1_ops)
+AFFINE_L2 = AlgFn(affine_add_l2, deg=2, n_ins=3, n_outs=3, name="affine_te_l2",
+                  ops_fn=affine_l2_ops)
+AFFINE_L3 = AlgFn(affine_add_l3, deg=2, n_ins=3, n_outs=3, name="affine_te_l3",
+                  ops_fn=affine_l3_ops)
+PROJ_L1 = AlgFn(proj_add_l1, deg=2, n_ins=6, n_outs=4, name="te_l1",
+                ops_fn=proj_l1_ops)
+PROJ_L2 = AlgFn(proj_add_l2, deg=2, n_ins=4, n_outs=4, name="te_l2",
+                ops_fn=proj_l2_ops)
+PROJ_L3 = AlgFn(proj_add_l3, deg=2, n_ins=4, n_outs=3, name="te_l3",
+                ops_fn=proj_l3_ops)
+TRIANGLE_L1 = AlgFn(triangle_l1, deg=2, n_ins=12, n_outs=12, name="triangle_te_l1",
+                    ops_fn=triangle_l1_ops)
 
 
 def affine_add(args):

@@ -175,11 +175,9 @@ def _cond_sub_p_t(spec: FieldSpec, x: jnp.ndarray, extra_carry=None) -> jnp.ndar
     return jnp.where(take, d, x)
 
 
-def _mont_mul_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*R^-1 mod p on (n, B) transposed operands."""
+def _mont_reduce_t(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
+    """REDC of a carried 2n-limb value T < p*R -> T*R^-1 mod p, (n, B)."""
     n = spec.n_limbs
-    cols = _schoolbook_t(a, b, 2 * n)
-    t, _ = _carry_t(cols, 2 * n)
     m_cols = _schoolbook_const_t(t[:n], spec.np_limbs, n)
     m, _ = _carry_t(m_cols, n)
     mp_cols = _schoolbook_const_t(m, spec.p_limbs, 2 * n + 1)
@@ -188,6 +186,36 @@ def _mont_mul_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     hi = full[n : 2 * n]
     carry = full[2 * n : 2 * n + 1]
     return _cond_sub_p_t(spec, hi, extra_carry=carry)
+
+
+def _mont_mul_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product a*b*R^-1 mod p on (n, B) transposed operands."""
+    n = spec.n_limbs
+    cols = _schoolbook_t(a, b, 2 * n)
+    t, _ = _carry_t(cols, 2 * n)
+    return _mont_reduce_t(spec, t)
+
+
+def _lane_sum_t(spec: FieldSpec, w: jnp.ndarray) -> jnp.ndarray:
+    """Exact field sum over the lane (batch) axis: (n, B) -> (n, 1).
+
+    One uint32 column sum (exact while B < 2^16), one carry ripple, one REDC
+    and a R^2 rescale — instead of log2(B) modular-add tree steps.  Preserves
+    Montgomery form: REDC divides by R, the R^2 Montgomery-multiply restores it.
+    """
+    n = spec.n_limbs
+    B = w.shape[1]
+    assert B < (1 << LIMB_BITS), "lane sum bound needs B < 2^16"
+    # lazy halving tree of plain uint32 adds (Mosaic lacks unsigned reduce);
+    # exact: column sums stay < B * 2^16 < 2^32
+    while w.shape[1] > 1:
+        half = w.shape[1] // 2
+        w = w[:, :half] + w[:, half : 2 * half]
+    cols = w  # (n, 1), each < B*2^16
+    t, _ = _carry_t(cols, n + 2)
+    frame = _shift_rows(t, 0, 2 * n)
+    s = _mont_reduce_t(spec, frame)  # = (sum w) * R^-1 (as field value)
+    return _mont_mul_const_t(spec, s, spec.r2_limbs)
 
 
 def _add_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -199,6 +227,80 @@ def _sub_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d, borrow = _sub_limbs_t(a, b)
     dp, _ = _add_limbs_const_t(d, spec.p_limbs)
     return jnp.where(borrow != 0, dp, d)
+
+
+def _mont_mul_const_t(spec: FieldSpec, a: jnp.ndarray, c_mont) -> jnp.ndarray:
+    """Montgomery product by a compile-time constant (Montgomery-form limbs)."""
+    n = spec.n_limbs
+    cols = _schoolbook_const_t(a, c_mont, 2 * n)
+    t, _ = _carry_t(cols, 2 * n)
+    m_cols = _schoolbook_const_t(t[:n], spec.np_limbs, n)
+    m, _ = _carry_t(m_cols, n)
+    mp_cols = _schoolbook_const_t(m, spec.p_limbs, 2 * n + 1)
+    total = mp_cols + _shift_rows(t, 0, 2 * n + 1)
+    full, _ = _carry_t(total, 2 * n + 1)
+    return _cond_sub_p_t(
+        spec, full[n : 2 * n], extra_carry=full[2 * n : 2 * n + 1]
+    )
+
+
+def _neg_t(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """(p - a) mod p, mapping 0 -> 0."""
+    n = a.shape[0]
+    nz = a[0:1]
+    for k in range(1, n):
+        nz = nz | a[k : k + 1]
+    outs = []
+    borrow = jnp.zeros_like(a[0:1])
+    for k in range(n):
+        ak = a[k : k + 1] + borrow
+        ck = jnp.uint32(int(spec.p_limbs[k]))
+        outs.append((ck - ak) & MASK)
+        borrow = (ck < ak).astype(jnp.uint32)
+    d = jnp.concatenate(outs, axis=0)
+    return jnp.where(nz != 0, d, jnp.zeros_like(d))
+
+
+def _const_rows_t(c_limbs, B: int) -> jnp.ndarray:
+    """(n_limbs, B) broadcast of a compile-time constant, from scalar literals."""
+    return jnp.concatenate(
+        [jnp.full((1, B), int(l), dtype=jnp.uint32) for l in c_limbs], axis=0
+    )
+
+
+class TOps:
+    """Transposed-layout executor for formulas inside Pallas kernels.
+
+    Values are ``uint32[n_limbs, B]``; all field constants become scalar
+    literals at trace time. Mirror of ops/field/fieldops.StdOps.
+    """
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+
+    def mul(self, a, b):
+        return _mont_mul_t(self.spec, a, b)
+
+    def add(self, a, b):
+        return _add_t(self.spec, a, b)
+
+    def sub(self, a, b):
+        return _sub_t(self.spec, a, b)
+
+    def square(self, a):
+        return _mont_mul_t(self.spec, a, a)
+
+    def double(self, a):
+        return _add_t(self.spec, a, a)
+
+    def neg(self, a):
+        return _neg_t(self.spec, a)
+
+    def mul_const(self, a, c_mont):
+        return _mont_mul_const_t(self.spec, a, c_mont)
+
+    def one_like(self, a):
+        return _const_rows_t(self.spec.one_mont, a.shape[1])
 
 
 # =============================================================================

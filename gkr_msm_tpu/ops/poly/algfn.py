@@ -26,13 +26,19 @@ from ..field.spec import FieldSpec
 
 @dataclasses.dataclass(frozen=True)
 class AlgFn:
-    """deg/n_ins/n_outs-annotated pure map: List[arr] -> List[arr]."""
+    """deg/n_ins/n_outs-annotated pure map: List[arr] -> List[arr].
+
+    ``ops_fn``, when present, is the same formula written against the
+    field-ops protocol (ops/field/fieldops.py) — fused Pallas kernels call
+    it with a transposed-layout executor to run the map inside VMEM.
+    """
 
     fn: Callable[[Sequence[jnp.ndarray]], List[jnp.ndarray]]
     deg: int
     n_ins: int
     n_outs: int
     name: str = "algfn"
+    ops_fn: "Callable | None" = None
 
     def __call__(self, args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         assert len(args) == self.n_ins, (self.name, len(args), self.n_ins)
@@ -56,7 +62,14 @@ def apply_fn(fn: AlgFn, args: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
 
 def id_algfn(n: int) -> AlgFn:
     """Identity on n polys (reference IdAlgFn, algfn.rs:129-165)."""
-    return AlgFn(fn=lambda args: list(args), deg=1, n_ins=n, n_outs=n, name="id")
+    return AlgFn(
+        fn=lambda args: list(args),
+        deg=1,
+        n_ins=n,
+        n_outs=n,
+        name="id",
+        ops_fn=lambda o, args: list(args),
+    )
 
 
 def repeated(f: AlgFn, count: int) -> AlgFn:
@@ -68,12 +81,21 @@ def repeated(f: AlgFn, count: int) -> AlgFn:
             outs.extend(f(args[c * f.n_ins : (c + 1) * f.n_ins]))
         return outs
 
+    ops_fn = None
+    if f.ops_fn is not None:
+        def ops_fn(o, args, _f=f.ops_fn, _n=f.n_ins):
+            outs = []
+            for c in range(count):
+                outs.extend(_f(o, args[c * _n : (c + 1) * _n]))
+            return outs
+
     return AlgFn(
         fn=fn,
         deg=f.deg,
         n_ins=f.n_ins * count,
         n_outs=f.n_outs * count,
         name=f"repeat[{count}]({f.name})",
+        ops_fn=ops_fn,
     )
 
 
@@ -84,12 +106,18 @@ def stacked(f: AlgFn, g: AlgFn) -> AlgFn:
     def fn(args):
         return f(args[: f.n_ins]) + g(args[f.n_ins :])
 
+    ops_fn = None
+    if f.ops_fn is not None and g.ops_fn is not None:
+        def ops_fn(o, args, _f=f.ops_fn, _g=g.ops_fn, _n=f.n_ins):
+            return list(_f(o, args[:_n])) + list(_g(o, args[_n:]))
+
     return AlgFn(
         fn=fn,
         deg=max(f.deg, g.deg),
         n_ins=f.n_ins + g.n_ins,
         n_outs=f.n_outs + g.n_outs,
         name=f"stack({f.name},{g.name})",
+        ops_fn=ops_fn,
     )
 
 
@@ -100,4 +128,11 @@ def bitcheck(spec: FieldSpec, n: int) -> AlgFn:
     def fn(args):
         return [fl.sub(spec, fl.square(spec, x), x) for x in args]
 
-    return AlgFn(fn=fn, deg=2, n_ins=n, n_outs=n, name="bitcheck")
+    return AlgFn(
+        fn=fn,
+        deg=2,
+        n_ins=n,
+        n_outs=n,
+        name="bitcheck",
+        ops_fn=lambda o, args: [o.sub(o.square(x), x) for x in args],
+    )
