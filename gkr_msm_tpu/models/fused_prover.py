@@ -88,10 +88,28 @@ def _enc(vals: Sequence[int]) -> np.ndarray:
 # the fused prover
 # -----------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("fn", "use_pallas"))
+# Tail rounds with live tables at or below this size run inside ONE
+# lax.scan body at a fixed zero-padded shape (padded lanes carry eq = 0 and
+# bind 0 -> 0, so sums are exact).  This collapses the unrolled per-round
+# program — the dominant XLA/Mosaic compile cost over the remote tunnel —
+# to ~num_vars - TAIL_LOG unrolled bodies plus one scan body.
+import os as _os
+
+TAIL_LOG = int(_os.environ.get("GKR_MSM_DEVICE_TAIL_LOG", "10"))
+
+
+def _zpad0(arr: jnp.ndarray, size: int) -> jnp.ndarray:
+    if arr.shape[0] >= size:
+        return arr
+    pad = jnp.zeros((size - arr.shape[0],) + arr.shape[1:], dtype=arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("fn", "use_pallas", "tail_log"))
 def _device_rounds(
     fn: AlgFn,
     use_pallas: bool,
+    tail_log: int,
     polys: Tuple[jnp.ndarray, ...],
     eq_tables: Tuple[jnp.ndarray, ...],  # eq_tables[r] is round r's table
     state0: jnp.ndarray,  # (8,) sponge words
@@ -116,16 +134,12 @@ def _device_rounds(
     three = jnp.asarray(_enc([3])[0])
     r2 = jnp.asarray(np.asarray(FR.r2_limbs, dtype=np.uint32))
 
-    msgs = []
-    challenges = []
-    for r in range(R):
-        eq1, eq2, eq3, inv_eq0, c_a, c_b = (rc[r, i] for i in range(6))
-        m = polys[0].shape[0]
-        if use_pallas and sk.should_use(FR, fn, m):
-            sums = sk.fused_round(FR, polys, fn, eq_tables[r])
-        else:
-            sums = _round_sums(FR, polys, fn, eq_tables[r])
-        # gamma-fold the outputs, scale by the eq multiplier
+    def round_algebra(sums, rcrow, state, claim, multiplier):
+        """gamma-fold + from12 + interpolation + sponge for one round.
+        Returns (msg_std (3,16), x_std (16,), x mont, state', claim',
+        multiplier') — everything except the bind."""
+        eq1, eq2, eq3, inv_eq0, c_a, c_b = (rcrow[i] for i in range(6))
+
         def fold(row):
             w = fl.mul(FR, row, gamma_pows)
             acc = w[0]
@@ -139,48 +153,93 @@ def _device_rounds(
         prod1 = _smul(total1, eq1)
         prod0 = _ssub(claim, prod1)
         p0 = _smul(prod0, inv_eq0)
-        p3 = _sadd(
-            _ssub(_smul(three, total2), _smul(three, total1)), p0
-        )
+        p3 = _sadd(_ssub(_smul(three, total2), _smul(three, total1)), p0)
         e0, e1 = prod0, prod1
         e2 = _smul(total2, eq2)
         e3 = _smul(p3, eq3)
         # interpolate_at_0123 (host.py:70-85)
         d1 = _ssub(e1, e0)
         d2 = _sadd(_ssub(e2, _smul(two, e1)), e0)
-        d3 = _sadd(
-            _ssub(e3, _smul(three, e2)), _ssub(_smul(three, e1), e0)
-        )
+        d3 = _sadd(_ssub(e3, _smul(three, e2)), _ssub(_smul(three, e1), e0))
         c0 = e0
-        c1 = _sadd(
-            _ssub(d1, _smul(d2, inv2)), _smul(_smul(d3, inv6), two)
-        )
+        c1 = _sadd(_ssub(d1, _smul(d2, inv2)), _smul(_smul(d3, inv6), two))
         c2 = _ssub(_smul(d2, inv2), _smul(d3, inv2))
         c3 = _smul(d3, inv6)
         # round message = compressed coeffs [c0, c2, c3] in standard form
         msg_std = jnp.stack(
             [fl.from_mont(FR, c[None])[0] for c in (c0, c2, c3)]
         )  # (3, 16)
-        msgs.append(msg_std)
-        payload = jnp.concatenate([_std_limbs_to_words(msg_std[i]) for i in range(3)])
+        payload = jnp.concatenate(
+            [_std_limbs_to_words(msg_std[i]) for i in range(3)]
+        )
         state = shj.absorb(state, payload, 96)
         d4, state = shj.squeeze128_and_ratchet(state)
         x_std = _digest16_to_limbs(d4)
-        challenges.append(x_std)
         x = _smul(x_std, r2)  # to Montgomery (128-bit value < p: no reduction)
-        # bind all polys at x
-        if use_pallas and sk.should_use_bind(m):
-            polys = sk.fused_bind(FR, polys, x)
-        else:
-            polys = [mle.bind_low(FR, p_, x) for p_ in polys]
         # multiplier *= (1 - pt) + x*(2pt - 1);  claim = evaluate_univar(c, x)
         multiplier = _smul(multiplier, _sadd(c_a, _smul(x, c_b)))
         claim = _sadd(
             _smul(_sadd(_smul(_sadd(_smul(c3, x), c2), x), c1), x), c0
         )
+        return msg_std, x_std, x, state, claim, multiplier
 
-    final_evals = jnp.stack([p_[0] for p_ in polys])  # (n_ins, 16) mont
-    return jnp.stack(msgs), jnp.stack(challenges), final_evals
+    S = 1 << tail_log
+    msgs = []
+    challenges = []
+    r = 0
+    # unrolled big rounds (Pallas fused kernels)
+    while r < R and polys[0].shape[0] > S:
+        m = polys[0].shape[0]
+        if use_pallas and sk.should_use(FR, fn, m):
+            sums = sk.fused_round(FR, polys, fn, eq_tables[r])
+        else:
+            sums = _round_sums(FR, polys, fn, eq_tables[r])
+        msg_std, x_std, x, state, claim, multiplier = round_algebra(
+            sums, rc[r], state, claim, multiplier
+        )
+        msgs.append(msg_std)
+        challenges.append(x_std)
+        if use_pallas and sk.should_use_bind(m):
+            polys = sk.fused_bind(FR, polys, x)
+        else:
+            polys = [mle.bind_low(FR, p_, x) for p_ in polys]
+        r += 1
+
+    T = R - r
+    if T > 0:
+        polys_c = jnp.stack([_zpad0(p_, S) for p_ in polys])  # (n_ins, S, L)
+        eqs = jnp.stack([_zpad0(eq_tables[r + i], S // 2) for i in range(T)])
+
+        def body(carry, xs):
+            pc, st, cl, mult = carry
+            eq_t, rcrow = xs
+            plist = [pc[i] for i in range(fn.n_ins)]
+            sums = _round_sums(FR, plist, fn, eq_t)
+            msg_std, x_std, x, st, cl, mult = round_algebra(
+                sums, rcrow, st, cl, mult
+            )
+            bound = jnp.stack(
+                [
+                    _zpad0(mle.bind_low(FR, p_, x), S)
+                    for p_ in plist
+                ]
+            )
+            return (bound, st, cl, mult), (msg_std, x_std)
+
+        (polys_c, state, claim, multiplier), (m_t, x_t) = jax.lax.scan(
+            body, (polys_c, state, claim, multiplier), (eqs, rc[r:])
+        )
+        final_evals = polys_c[:, 0]  # (n_ins, 16) mont
+        if msgs:
+            all_msgs = jnp.concatenate([jnp.stack(msgs), m_t])
+            all_chal = jnp.concatenate([jnp.stack(challenges), x_t])
+        else:
+            all_msgs, all_chal = m_t, x_t
+    else:
+        final_evals = jnp.stack([p_[0] for p_ in polys])
+        all_msgs = jnp.stack(msgs)
+        all_chal = jnp.stack(challenges)
+    return all_msgs, all_chal, final_evals
 
 
 def prove_rounds_device(
@@ -219,6 +278,7 @@ def prove_rounds_device(
     msgs, xs, fin = _device_rounds(
         fn,
         fk._FORCE != "0",
+        TAIL_LOG,
         tuple(polys),
         eq_tables,
         state0,

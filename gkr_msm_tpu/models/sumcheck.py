@@ -29,6 +29,7 @@ from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.field import host as fh
 from ..ops.field import limbs as fl
@@ -126,6 +127,21 @@ def _axis_field_sum(spec: FieldSpec, arr: jnp.ndarray, axis: int) -> jnp.ndarray
         arr = fl.add(spec, arr[0::2], arr[1::2])
         m //= 2
     return arr[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _rect_eq_flat(
+    spec: FieldSpec, row_coefs: jnp.ndarray, eq_seg: jnp.ndarray
+) -> jnp.ndarray:
+    """Outer product row_coefs (R, L) x eq_seg (C/2, L) -> (R*C/2, L)."""
+    r = row_coefs.shape[0]
+    c2 = eq_seg.shape[0]
+    w = fl.mul(
+        spec,
+        jnp.broadcast_to(row_coefs[:, None], (r, c2, spec.n_limbs)),
+        jnp.broadcast_to(eq_seg[None], (r, c2, spec.n_limbs)),
+    )
+    return w.reshape(r * c2, spec.n_limbs)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -341,6 +357,27 @@ class DenseDeg2Sumcheck:
 
     def verify_layer(self, tr, claims):
         return self.verify(tr, claims)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _claims_for_map_jit(spec: FieldSpec, fn: AlgFn, polys: tuple, point_enc):
+    eq = mle._eq_table(
+        spec, point_enc, jnp.asarray(np.asarray(spec.one_mont, dtype=np.uint32))
+    )
+    outs = fn(list(polys))
+    sums = [mle._field_sum(spec, fl.mul(spec, o, eq)) for o in outs]
+    return jnp.stack([fl.from_mont(spec, s[None])[0] for s in sums])
+
+
+def claims_for_map(
+    spec: FieldSpec, fn: AlgFn, polys: Sequence[jnp.ndarray], point: Sequence[int]
+) -> SinglePointClaims:
+    """Direct eq-weighted evaluation claims for fn over polys at point — the
+    whole pass (eq table, map, weighted sums) in ONE jitted program."""
+    pt = mle.encode_point(spec, list(point))
+    std = _claims_for_map_jit(spec, fn, tuple(polys), pt)
+    evs = fl.decode_ints(spec, std, mont=False)
+    return SinglePointClaims(point=list(point), evs=evs)
 
 
 def _exec_on_scalars(spec: FieldSpec, fn: AlgFn, scalars: Sequence[int]) -> List[int]:
@@ -573,9 +610,21 @@ class RectSumcheckObject:
                 for d in datas
             )
             eq_seg = _zpad_axis0(eq_seg, self.cap0 // 2)
-        sums = _round_sums_rect(
-            self.spec, datas, self.fn, eq_seg, row_coefs
-        )
+        from ..ops.pallas import sumcheck_kernels as sk
+
+        n_rows = int(datas[0].shape[0])
+        m_flat = n_rows * self.cap0
+        if sk.should_use(self.spec, self.fn, m_flat):
+            # reuse the dense fused kernel on the flattened (rows*cap) grid:
+            # pairs stay adjacent (cap is even), and the pair weight is the
+            # outer product row_coefs[r] * eq_seg[c]
+            eq_flat = _rect_eq_flat(self.spec, row_coefs, eq_seg)
+            flat = [d.reshape(m_flat, self.spec.n_limbs) for d in datas]
+            sums = sk.fused_round(self.spec, flat, self.fn, eq_flat)
+        else:
+            sums = _round_sums_rect(
+                self.spec, datas, self.fn, eq_seg, row_coefs
+            )
         sums_host = fl.decode_ints(self.spec, sums)
         n_o = self.fn.n_outs
         trail = (1 - pad_scale) % p
@@ -612,7 +661,20 @@ class RectSumcheckObject:
         qb = self.point[n - 1 - self.k]
         self.multiplier = self.multiplier * ((1 - qb - t + 2 * qb * t) % p) % p
         tl = mle.scalar(self.spec, t)
-        self.datas = _bind_rect(self.spec, self.datas, tl)
+        from ..ops.pallas import sumcheck_kernels as sk
+
+        n_rows = int(self.datas[0].shape[0])
+        cap = int(self.datas[0].shape[1])
+        if sk.should_use_bind(n_rows * cap):
+            flat = [
+                d.reshape(n_rows * cap, self.spec.n_limbs) for d in self.datas
+            ]
+            outs = sk.fused_bind(self.spec, flat, tl)
+            self.datas = tuple(
+                o.reshape(n_rows, cap // 2, self.spec.n_limbs) for o in outs
+            )
+        else:
+            self.datas = _bind_rect(self.spec, self.datas, tl)
         self.claim = fh.evaluate_univar(self._cached_coeffs, t, p)
         self._cached_coeffs = None
         self.challenges.append(t)

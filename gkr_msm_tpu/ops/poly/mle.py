@@ -118,6 +118,36 @@ def random_poly(spec: FieldSpec, rng, num_vars: int) -> jnp.ndarray:
     return jnp.asarray(fl.encode_ints(spec, vals))
 
 
+def random_poly_fast(spec: FieldSpec, nprng, num_vars: int) -> jnp.ndarray:
+    """Uniform random Montgomery table via vectorized numpy rejection
+    sampling (a uniform residue IS a uniform Montgomery encoding); avoids
+    the per-element Python-int path of random_poly for big benches."""
+    n = 1 << num_vars
+    nl = spec.n_limbs
+    pl = np.array(spec.p_limbs, dtype=np.uint32)
+    out = np.zeros((n, nl), dtype=np.uint32)
+    need = np.ones(n, dtype=bool)
+    top_bits = spec.modulus.bit_length() - 16 * (nl - 1)
+    top_mask = (1 << min(16, max(top_bits, 1))) - 1
+    while need.any():
+        k = int(need.sum())
+        cand = nprng.integers(0, 1 << 16, size=(k, nl)).astype(np.uint32)
+        cand[:, nl - 1] &= top_mask  # cheap cut: halves the rejection rate
+        # lexicographic cand < p, most-significant limb first
+        lt = np.zeros(k, dtype=bool)
+        decided = np.zeros(k, dtype=bool)
+        for i in range(nl - 1, -1, -1):
+            is_lt = ~decided & (cand[:, i] < pl[i])
+            is_gt = ~decided & (cand[:, i] > pl[i])
+            lt |= is_lt
+            decided |= is_lt | is_gt
+        idx = np.flatnonzero(need)
+        ok = lt  # undecided == equal to p -> reject
+        out[idx[ok]] = cand[ok]
+        need[idx[ok]] = False
+    return jnp.asarray(out)
+
+
 def split_lo(poly: jnp.ndarray) -> tuple:
     """Split on the LOWEST variable: (p|x0=0, p|x0=1) = (evens, odds)."""
     return poly[0::2], poly[1::2]

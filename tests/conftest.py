@@ -25,6 +25,15 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules: XLA:CPU has crashed
+    (SIGSEGV in backend_compile) when a single process holds the whole
+    suite's worth of live compiled programs."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return random.Random(0xC0FFEE)

@@ -83,3 +83,27 @@ def test_sha256_jnp_matches_hashlib():
     refstate = hashlib.sha256(sbytes + b"ratchet").digest()
     assert np.asarray(d4).astype(">u4").tobytes() == ref16
     assert np.asarray(new_state).astype(">u4").tobytes() == refstate
+
+
+@pytest.mark.parametrize("tail_log", [0, 3, 10])
+def test_fused_prover_unrolled_plus_scan_tail(monkeypatch, tail_log):
+    """The unrolled-head + lax.scan-tail split (any threshold) must keep the
+    transcript byte-identical to the host round loop."""
+    fn = bs.PROJ_L2
+    num_vars = 6
+    polys, claims = _setup(fn, num_vars, 0xBEEF + tail_log)
+    proto = DenseDeg2Sumcheck(fn=fn, num_vars=num_vars)
+
+    tr_ref = Transcript(b"fused-tail")
+    ref_claims, _ = proto.prove(tr_ref, claims, [p for p in polys])
+    ref_proof = tr_ref.end()
+
+    monkeypatch.setattr(fp, "should_use", lambda fn_, nv: fn_.ops_fn is not None)
+    monkeypatch.setattr(fp, "TAIL_LOG", tail_log)
+    tr_dev = Transcript(b"fused-tail")
+    dev_claims, _ = proto.prove(tr_dev, claims, [p for p in polys])
+    dev_proof = tr_dev.end()
+
+    assert dev_proof == ref_proof
+    assert dev_claims.point == ref_claims.point
+    assert dev_claims.evs == ref_claims.evs

@@ -70,3 +70,43 @@ def test_lane_sum_exact():
     got = fk._lane_sum_t(FR, w)[:, 0]
     expected = sum(vals) % FR.modulus
     assert fl.decode_ints(FR, got[None])[0] == expected
+
+
+def test_rect_prover_fused_matches_xla(monkeypatch):
+    """Rect sparse rounds through the flattened fused kernel (interpret mode)
+    must produce byte-identical proofs to the XLA rect path."""
+    import gkr_msm_tpu.ops.pallas.field_kernels as fkm
+    from gkr_msm_tpu.models.sumcheck import RectDeg2Sumcheck, SinglePointClaims
+    from gkr_msm_tpu.ops.poly.rect import RectPoly, rect_map
+    from gkr_msm_tpu.utils.transcript import Transcript
+
+    rng = random.Random(77)
+    row_logsize, col_logsize = 3, 2
+    num_vars = row_logsize + col_logsize
+    fn = bs.AFFINE_L1
+    n_rows = rng.randrange(1 << col_logsize) + 1
+    lens = [rng.randrange(1 << row_logsize) + 1 for _ in range(n_rows)]
+    rows = [[rng.randrange(FR.modulus) for _ in range(l)] for l in lens]
+    mk = lambda pad_r, pad_c: RectPoly.from_rows(
+        FR, rows, pad_r, pad_c, row_logsize, col_logsize
+    )
+    polys = [mk(0, 0), mk(1, 1), mk(0, 0), mk(1, 1)]
+    outputs = rect_map(polys, fn)
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars)]
+    evs = [o.evaluate(point) for o in outputs]
+    claims = SinglePointClaims(point=point, evs=evs)
+    proto = RectDeg2Sumcheck(fn, num_vars, col_logsize)
+
+    def run():
+        tr = Transcript(b"rect-fused")
+        out, _ = proto.prove(tr, claims, polys)
+        return out, tr.end()
+
+    monkeypatch.setattr(fkm, "_FORCE", "0")
+    ref_claims, ref_proof = run()
+    monkeypatch.setattr(fkm, "_FORCE", "1")
+    monkeypatch.setattr(fkm, "_INTERPRET", True)
+    monkeypatch.setattr(fkm, "MIN_PALLAS_ELEMS", 1)
+    got_claims, got_proof = run()
+    assert ref_proof == got_proof
+    assert ref_claims == got_claims

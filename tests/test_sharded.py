@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed backend (SURVEY.md §2.12); these validate
+the TPU-native scaling axis: sharded tables, psum'd round scalars, local
+binds, shard->replicated switchover — and that the sharded prover's
+transcript is byte-identical to the single-device one."""
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from gkr_msm_tpu.models.sumcheck import (
+    DenseDeg2Sumcheck,
+    SinglePointClaims,
+    _round_sums,
+)
+from gkr_msm_tpu.ops.curve import bandersnatch as bs
+from gkr_msm_tpu.ops.field import limbs as fl
+from gkr_msm_tpu.ops.field.spec import FR
+from gkr_msm_tpu.ops.poly import mle
+from gkr_msm_tpu.ops.poly.algfn import apply_fn
+from gkr_msm_tpu.parallel import sharded
+from gkr_msm_tpu.utils.transcript import Transcript
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return sharded.make_mesh(jax.devices()[:8])
+
+
+def test_sharded_round_sums_match_local(mesh, rng):
+    fn = bs.PROJ_L1
+    num_vars = 7
+    polys = [mle.random_poly(FR, rng, num_vars) for _ in range(fn.n_ins)]
+    eq = mle.eq_table(
+        FR, [rng.randrange(FR.modulus) for _ in range(num_vars - 1)]
+    )
+    ref = np.asarray(_round_sums(FR, polys, fn, eq))
+    sh_polys = [sharded.shard_table(mesh, p) for p in polys]
+    sh_eq = sharded.shard_table(mesh, eq)
+    got = np.asarray(
+        sharded.sharded_round_sums(mesh, FR, fn, sh_polys, sh_eq)
+    )
+    assert np.array_equal(ref, got)
+
+
+def test_sharded_bind_matches_local(mesh, rng):
+    polys = [mle.random_poly(FR, rng, 7) for _ in range(3)]
+    t = mle.scalar(FR, rng.randrange(FR.modulus))
+    ref = [np.asarray(mle.bind_low(FR, p, t)) for p in polys]
+    sh = [sharded.shard_table(mesh, p) for p in polys]
+    got = sharded.sharded_bind(mesh, FR, sh, t)
+    for r, g in zip(ref, got):
+        assert np.array_equal(r, np.asarray(g))
+
+
+def test_sharded_prove_transcript_identical(mesh, rng):
+    """Full sharded sumcheck (incl. shard->replicated switchover) produces
+    the same proof bytes as the single-device prover, and verifies."""
+    fn = bs.PROJ_L2
+    num_vars = 8  # 2^8 table over 8 devices -> switchover mid-protocol
+    polys = [mle.random_poly(FR, rng, num_vars) for _ in range(fn.n_ins)]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars)]
+    eq = mle.eq_table(FR, point)
+    outs = apply_fn(fn, polys)
+    evs = [
+        fl.decode_ints(FR, mle.field_sum(FR, fl.mul(FR, o, eq)))[0]
+        for o in outs
+    ]
+    claims = SinglePointClaims(point=point, evs=evs)
+    proto = DenseDeg2Sumcheck(fn=fn, num_vars=num_vars)
+
+    tr_ref = Transcript(b"sharded")
+    ref_claims, _ = proto.prove(tr_ref, claims, polys)
+    ref_proof = tr_ref.end()
+
+    tr_sh = Transcript(b"sharded")
+    sh_claims, _ = sharded.sharded_prove(
+        mesh, tr_sh, fn, num_vars, claims, polys
+    )
+    sh_proof = tr_sh.end()
+
+    assert sh_proof == ref_proof
+    assert sh_claims == ref_claims
+
+    tv = Transcript(b"sharded", proof=sh_proof)
+    ver_claims = proto.verify(tv, claims)
+    tv.assert_end()
+    assert ver_claims == sh_claims
