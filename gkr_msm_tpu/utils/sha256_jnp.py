@@ -55,7 +55,7 @@ def _compress(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
         return w.at[t].set(w[t - 16] + s0 + w[t - 7] + s1)
 
     w = jnp.zeros((64,), jnp.uint32).at[:16].set(block)
-    w = jax.lax.fori_loop(16, 64, sched_body, w)
+    w = jax.lax.fori_loop(16, 64, sched_body, w, unroll=16)
     k = jnp.asarray(_K)
 
     def round_body(t, v):
@@ -68,7 +68,9 @@ def _compress(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
         t2 = s0 + mj
         return (t1 + t2, a, b, c, d + t1, e, f, g)
 
-    v = jax.lax.fori_loop(0, 64, round_body, tuple(state[i] for i in range(8)))
+    v = jax.lax.fori_loop(
+        0, 64, round_body, tuple(state[i] for i in range(8)), unroll=16
+    )
     return state + jnp.stack(v)
 
 
@@ -140,12 +142,26 @@ def squeeze128_and_ratchet(state: jnp.ndarray):
             dtype=np.uint32,
         )
     )
-    words = jnp.concatenate([state, tail])
-    digest = sha256_words(words, 43)
-    new_state = sha256_words(
+    # both messages fit one block; the two compressions are independent, so
+    # run them as a single vmapped batch (halves the sponge's serial latency)
+    blk_sq = _pad_single_block(jnp.concatenate([state, tail]), 43)
+    blk_ra = _pad_single_block(
         jnp.concatenate([state, jnp.asarray(_RATCHET_WORDS)]), 39
     )
-    return digest[:4], new_state
+    iv = jnp.broadcast_to(jnp.asarray(_IV), (2, 8))
+    out = jax.vmap(_compress)(iv, jnp.stack([blk_sq, blk_ra]))
+    return out[0, :4], out[1]
+
+
+def _pad_single_block(words: jnp.ndarray, total_bytes: int) -> jnp.ndarray:
+    """SHA padding of a <56-byte message into one 16-word block."""
+    assert total_bytes + 9 <= 64
+    n_words = (total_bytes + 3) // 4
+    pad_word_idx = total_bytes // 4
+    shift = (3 - (total_bytes % 4)) * 8
+    msg = jnp.zeros((16,), jnp.uint32).at[:n_words].set(words[:n_words])
+    msg = msg.at[pad_word_idx].set(msg[pad_word_idx] | (jnp.uint32(0x80) << shift))
+    return msg.at[15].set(jnp.uint32(total_bytes * 8))
 
 
 def initial_state_host(label: bytes) -> np.ndarray:
