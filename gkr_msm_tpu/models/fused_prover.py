@@ -95,7 +95,10 @@ def _enc(vals: Sequence[int]) -> np.ndarray:
 # to ~num_vars - TAIL_LOG unrolled bodies plus one scan body.
 import os as _os
 
-TAIL_LOG = int(_os.environ.get("GKR_MSM_DEVICE_TAIL_LOG", "10"))
+# default 2^8: the lax.scan tail costs ~10 ms/round of serial scalar latency
+# (sponge + claim algebra) regardless of table size, so push the pallas
+# halves pipeline down to 256-lane tables (scripts/tpu_prove_breakdown.py)
+TAIL_LOG = int(_os.environ.get("GKR_MSM_DEVICE_TAIL_LOG", "8"))
 
 
 def _zpad0(arr: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -105,25 +108,42 @@ def _zpad0(arr: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.concatenate([arr, pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("fn", "use_pallas", "tail_log"))
+@functools.partial(
+    jax.jit, static_argnames=("fn", "use_pallas", "tail_log", "halves")
+)
 def _device_rounds(
     fn: AlgFn,
     use_pallas: bool,
     tail_log: int,
+    halves: bool,
     polys: Tuple[jnp.ndarray, ...],
-    eq_tables: Tuple[jnp.ndarray, ...],  # eq_tables[r] is round r's table
+    pt_enc: jnp.ndarray,  # (R-1, 16) Montgomery point coords (eq tables are
+    # derived in-program: no per-table host dispatches over the tunnel)
     state0: jnp.ndarray,  # (8,) sponge words
     claim0: jnp.ndarray,  # (16,) mont
     gamma_pows: jnp.ndarray,  # (n_outs, 16) mont
-    rc: jnp.ndarray,  # (R, 6, 16) mont per-round constants:
-    #   [eq1, eq2, eq3, inv_eq0, c_a=(1-pt), c_b=(2pt-1)]
+    rc: jnp.ndarray,  # (R, 7, 16) mont per-round constants:
+    #   [eq1, eq2, eq3, inv_eq0, c_a=(1-pt), c_b=(2pt-1), eq-prefix rescale]
 ):
     from ..models.sumcheck import _round_sums
     from ..ops.pallas import sumcheck_kernels as sk
     from ..ops.poly import mle
 
-    R = len(eq_tables)
+    R = rc.shape[0]
     n_o = fn.n_outs
+    # eq tables, built inside the single device program
+    if halves:
+        M0 = polys[0].shape[0]
+        U0 = (M0.bit_length() - 1) - tail_log
+        eq_big = _eq_bitrev_table_body(pt_enc)
+        tail_len = R - 1 - U0
+        small = mle._eq_table_seq(FR, pt_enc[:tail_len]) if U0 < R else ()
+        eq_tables = (eq_big,) * U0 + tuple(
+            small[R - 1 - r] for r in range(U0, R)
+        )
+    else:
+        eq_seq = mle._eq_table_seq(FR, pt_enc)
+        eq_tables = tuple(eq_seq[R - 1 - r] for r in range(R))
     polys = list(polys)
     state = state0
     claim = claim0
@@ -137,8 +157,10 @@ def _device_rounds(
     def round_algebra(sums, rcrow, state, claim, multiplier):
         """gamma-fold + from12 + interpolation + sponge for one round.
         Returns (msg_std (3,16), x_std (16,), x mont, state', claim',
-        multiplier') — everything except the bind."""
-        eq1, eq2, eq3, inv_eq0, c_a, c_b = (rcrow[i] for i in range(6))
+        multiplier') — everything except the bind.  rcrow[6] is the eq-prefix
+        rescale 1/prod(1-pt_dropped) (one shared eq table, see
+        _eq_bitrev_table); 1 for the natural-order path."""
+        eq1, eq2, eq3, inv_eq0, c_a, c_b, scale = (rcrow[i] for i in range(7))
 
         def fold(row):
             w = fl.mul(FR, row, gamma_pows)
@@ -147,8 +169,9 @@ def _device_rounds(
                 acc = _sadd(acc, w[i])
             return acc
 
-        total1 = _smul(fold(sums[0]), multiplier)
-        total2 = _smul(fold(sums[1]), multiplier)
+        mult_s = _smul(multiplier, scale)
+        total1 = _smul(fold(sums[0]), mult_s)
+        total2 = _smul(fold(sums[1]), mult_s)
         # from12 (host.py:132-146) in Montgomery form with per-round consts
         prod1 = _smul(total1, eq1)
         prod0 = _ssub(claim, prod1)
@@ -186,24 +209,55 @@ def _device_rounds(
     S = 1 << tail_log
     msgs = []
     challenges = []
-    r = 0
-    # unrolled big rounds (Pallas fused kernels)
-    while r < R and polys[0].shape[0] > S:
-        m = polys[0].shape[0]
-        if use_pallas and sk.should_use(FR, fn, m):
-            sums = sk.fused_round(FR, polys, fn, eq_tables[r])
-        else:
-            sums = _round_sums(FR, polys, fn, eq_tables[r])
-        msg_std, x_std, x, state, claim, multiplier = round_algebra(
-            sums, rc[r], state, claim, multiplier
-        )
-        msgs.append(msg_std)
-        challenges.append(x_std)
-        if use_pallas and sk.should_use_bind(m):
-            polys = sk.fused_bind(FR, polys, x)
-        else:
-            polys = [mle.bind_low(FR, p_, x) for p_ in polys]
-        r += 1
+    if halves:
+        # zero-copy pipeline: bit-reversed transposed residency; each round
+        # is ONE pallas_call fusing the previous bind with this round's sums.
+        # eq_tables[0] is the single shared bitrev eq table — every round
+        # reads its m-lane PREFIX (rescale folded into rc[:, 6]).
+        M = polys[0].shape[0]
+        U = (M.bit_length() - 1) - tail_log
+        eq_big = eq_tables[0]
+        los, his = [], []
+        for p_ in polys:
+            lo, hi = sk.to_halves_bitrev(FR, p_)
+            los.append(lo)
+            his.append(hi)
+        pending_x = None
+        for r in range(U):
+            if pending_x is None:
+                sums = sk.round_halves(FR, fn, los, his, eq_big)
+            else:
+                sums, los, his = sk.bind_round_halves(
+                    FR, fn, los, his, pending_x, eq_big
+                )
+            msg_std, x_std, x, state, claim, multiplier = round_algebra(
+                sums, rc[r], state, claim, multiplier
+            )
+            msgs.append(msg_std)
+            challenges.append(x_std)
+            pending_x = x
+        b_list = sk.bind_halves(FR, los, his, pending_x)
+        polys = [sk.halves_to_natural(FR, bt) for bt in b_list]
+        r = U
+    else:
+        r = 0
+        # unrolled big rounds (Pallas fused kernels)
+        while r < R and polys[0].shape[0] > S:
+            m = polys[0].shape[0]
+            if use_pallas and sk.should_use(FR, fn, m):
+                sums = sk.fused_round(FR, polys, fn, eq_tables[r])
+            else:
+                sums = _round_sums(FR, polys, fn, eq_tables[r])
+            msg_std, x_std, x, state, claim, multiplier = round_algebra(
+                sums, rc[r], state, claim, multiplier
+            )
+            msgs.append(msg_std)
+            challenges.append(x_std)
+            if use_pallas and sk.should_use_bind(m):
+                polys = sk.fused_bind(FR, polys, x)
+            else:
+                polys = [mle.bind_low(FR, p_, x) for p_ in polys]
+            r += 1
 
     T = R - r
     if T > 0:
@@ -239,7 +293,33 @@ def _device_rounds(
         final_evals = jnp.stack([p_[0] for p_ in polys])
         all_msgs = jnp.stack(msgs)
         all_chal = jnp.stack(challenges)
-    return all_msgs, all_chal, final_evals
+    # ONE flat output => ONE device->host transfer (3 separate fetches cost
+    # ~78 ms of tunnel round-trips): [msgs (R,3,16) | chal (R,16) | fin]
+    return jnp.concatenate(
+        [all_msgs.reshape(-1, FR.n_limbs), all_chal, final_evals]
+    )
+
+
+def _eq_bitrev_table_body(pt_enc: jnp.ndarray) -> jnp.ndarray:
+    """ONE transposed bit-reversed eq table T = eq over the full point with
+    storage bit j <-> point[j] (so T[i] = eq_natural[rev(i)]), (L, 2^{R-1}).
+
+    Built by the hi/lo CONCAT recursion (new coordinate at the storage MSB),
+    the bitrev dual of mle._eq_table's interleave recursion (utils.rs:222-254).
+    Because the recursion appends at the MSB, every smaller round table is a
+    PREFIX of this one up to the known scalar  prod_j (1 - point[j])  over the
+    dropped coordinates — the prover folds that scalar into the round
+    constants, so all rounds share this single resident table (zero per-round
+    eq materialization)."""
+    t = jnp.asarray(np.asarray(FR.one_mont, dtype=np.uint32))[None]
+    for m in range(pt_enc.shape[0]):
+        hi = fl.mul(FR, t, pt_enc[m])
+        lo = fl.sub(FR, t, hi)
+        t = jnp.concatenate([lo, hi], axis=0)
+    return t.T
+
+
+_eq_bitrev_table = jax.jit(_eq_bitrev_table_body)
 
 
 def prove_rounds_device(
@@ -254,9 +334,24 @@ def prove_rounds_device(
     transcript. Mirrors models/sumcheck.prove_rounds' outputs:
     ((final_claim, reversed challenges), final_evals)."""
     from ..ops.pallas import field_kernels as fk
+    from ..ops.pallas import sumcheck_kernels as sk
 
     R = len(point)
     n_o = fn.n_outs
+    from ..ops.poly import mle
+
+    M = polys[0].shape[0]
+    halves = sk.should_use_halves(FR, fn, M, 1 << TAIL_LOG)
+    U = (M.bit_length() - 1) - TAIL_LOG if halves else 0
+    # per-round rescale of the shared-eq-table prefix: round r's table is
+    # eq_big's 2^{R-1-r}-lane prefix = eq_r * prod_{j=R-1-r}^{R-2}(1-point[j])
+    scales = [1] * R
+    for r in range(1, U):
+        d = (1 - point[R - 1 - r]) % P
+        if d == 0:
+            halves = False  # rescale undefined; fall back to the plain path
+            break
+        scales[r] = scales[r - 1] * fh.inv(d, P) % P
     # per-round eq-point constants, host side (point[-1] bound first)
     rows = []
     for r in range(R):
@@ -265,30 +360,35 @@ def prove_rounds_device(
         eq0 = (1 - pt) % P
         eq2 = (2 * eq1 - eq0) % P
         eq3 = (2 * eq2 - eq1) % P
-        rows.extend([eq1, eq2, eq3, fh.inv(eq0, P), eq0, (2 * pt - 1) % P])
-    rc = jnp.asarray(_enc(rows).reshape(R, 6, FR.n_limbs))
-    from ..ops.poly import mle
-
-    eq_seq = mle.eq_table_sequence(FR, point[:-1]) if point else []
-    eq_tables = tuple(eq_seq[-1 - r] for r in range(R))
+        rows.extend(
+            [eq1, eq2, eq3, fh.inv(eq0, P), eq0, (2 * pt - 1) % P,
+             scales[r] if halves else 1]
+        )
+    rc = jnp.asarray(_enc(rows).reshape(R, 7, FR.n_limbs))
+    if R > 1:
+        pt_enc = jnp.asarray(_enc([c % P for c in point[: R - 1]]))
+    else:
+        pt_enc = jnp.zeros((0, FR.n_limbs), jnp.uint32)
     state0 = jnp.asarray(shj.state_from_host(tr._state))
     gp = jnp.asarray(_enc(gamma_pows[:n_o] + [0] * max(0, n_o - len(gamma_pows))))
     claim0 = jnp.asarray(_enc([claim])[0])
 
-    msgs, xs, fin = _device_rounds(
+    flat = _device_rounds(
         fn,
         fk._FORCE != "0",
         TAIL_LOG,
+        halves,
         tuple(polys),
-        eq_tables,
+        pt_enc,
         state0,
         claim0,
         gp,
         rc,
     )
-    msgs = np.asarray(msgs)
-    xs_host = np.asarray(xs)
-    fin = np.asarray(fin)
+    flat = np.asarray(flat)  # ONE transfer: [msgs | challenges | final evals]
+    msgs = flat[: 3 * R].reshape(R, 3, FR.n_limbs)
+    xs_host = flat[3 * R : 4 * R]
+    fin = flat[4 * R :]
 
     # host replay: identical byte stream + challenges (sponges are twins)
     p = P

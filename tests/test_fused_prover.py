@@ -85,6 +85,44 @@ def test_sha256_jnp_matches_hashlib():
     assert np.asarray(new_state).astype(">u4").tobytes() == refstate
 
 
+@pytest.mark.parametrize(
+    "fn,tail_log",
+    [(bs.PROJ_L2, 2), (bs.AFFINE_L1, 3)],
+    ids=["te_l2-tail2", "affine_l1-tail3"],
+)
+def test_fused_prover_halves_pipeline_transcript_identical(
+    monkeypatch, fn, tail_log
+):
+    """The zero-copy bitrev halves pipeline must keep the transcript
+    byte-identical to the host round loop.  Runs the kernels in pure-jnp
+    EMULATION (same block math; pallas interpret mode takes minutes per
+    kernel compile on XLA:CPU) — the pallas lowering itself is anchored by
+    tests/test_pallas_sumcheck.py's interpret-mode kernel tests."""
+    import gkr_msm_tpu.ops.pallas.field_kernels as fk
+    from gkr_msm_tpu.ops.pallas import sumcheck_kernels as sk
+
+    monkeypatch.setattr(sk, "_EMULATE", True)
+    num_vars = 6
+    polys, claims = _setup(fn, num_vars, 0xA11E + tail_log)
+    proto = DenseDeg2Sumcheck(fn=fn, num_vars=num_vars)
+
+    tr_ref = Transcript(b"fused-halves")
+    ref_claims, _ = proto.prove(tr_ref, claims, [p for p in polys])
+    ref_proof = tr_ref.end()
+
+    monkeypatch.setattr(fp, "should_use", lambda fn_, nv: fn_.ops_fn is not None)
+    monkeypatch.setattr(fp, "TAIL_LOG", tail_log)
+    # force ONLY the halves-pipeline decision; ordinary fl.* stays on XLA
+    monkeypatch.setattr(sk, "should_use_halves", lambda *a: True)
+    tr_dev = Transcript(b"fused-halves")
+    dev_claims, _ = proto.prove(tr_dev, claims, [p for p in polys])
+    dev_proof = tr_dev.end()
+
+    assert dev_proof == ref_proof
+    assert dev_claims.point == ref_claims.point
+    assert dev_claims.evs == ref_claims.evs
+
+
 @pytest.mark.parametrize("tail_log", [0, 3, 10])
 def test_fused_prover_unrolled_plus_scan_tail(monkeypatch, tail_log):
     """The unrolled-head + lax.scan-tail split (any threshold) must keep the

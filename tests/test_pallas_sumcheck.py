@@ -63,6 +63,88 @@ def test_fused_bind_matches_bind_low():
         assert np.array_equal(r, g)
 
 
+@pytest.mark.parametrize("fn", [bs.PROJ_L2, bs.AFFINE_L1], ids=lambda f: f.name)
+def test_round_halves_matches_xla(fn):
+    """Bit-reversed transposed halves round == natural-order round sums."""
+    rng = random.Random(0x44A1)
+    num_vars = 5
+    polys = [mle.random_poly(FR, rng, num_vars) for _ in range(fn.n_ins)]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars - 1)]
+    eq = mle.eq_table(FR, point)
+    ref = np.asarray(_round_sums(FR, polys, fn, eq))
+
+    los, his = zip(*(sk.to_halves_bitrev(FR, p) for p in polys))
+    # bitrev eq table = natural table indexed by rev(lane)
+    perm = sk._bitrev_perm(num_vars - 1)
+    eq_br = jnp.asarray(np.asarray(eq)[perm]).T
+    got = np.asarray(sk.round_halves(FR, fn, list(los), list(his), eq_br))
+    assert np.array_equal(ref, got)
+
+
+def test_bind_round_halves_matches_bind_plus_round():
+    """One fused kernel == bind_low followed by the natural round sums."""
+    fn = bs.PROJ_L2
+    rng = random.Random(0x9B1D)
+    num_vars = 6
+    polys = [mle.random_poly(FR, rng, num_vars) for _ in range(fn.n_ins)]
+    x = mle.scalar(FR, rng.randrange(FR.modulus))
+    bound = [mle.bind_low(FR, p, x) for p in polys]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars - 2)]
+    eq = mle.eq_table(FR, point)
+    ref_sums = np.asarray(_round_sums(FR, bound, fn, eq))
+
+    los, his = zip(*(sk.to_halves_bitrev(FR, p) for p in polys))
+    perm = sk._bitrev_perm(num_vars - 2)
+    eq_br = jnp.asarray(np.asarray(eq)[perm]).T
+    sums, nlos, nhis = sk.bind_round_halves(
+        FR, fn, list(los), list(his), x, eq_br
+    )
+    assert np.array_equal(ref_sums, np.asarray(sums))
+    # the written halves are the bound table's bitrev halves
+    for b, nlo, nhi in zip(bound, nlos, nhis):
+        blo, bhi = sk.to_halves_bitrev(FR, b)
+        assert np.array_equal(np.asarray(blo), np.asarray(nlo))
+        assert np.array_equal(np.asarray(bhi), np.asarray(nhi))
+
+
+def test_halves_emulation_matches_xla(monkeypatch):
+    """The pure-jnp emulation path (used by orchestration tests) computes
+    the same sums/binds as the natural-order XLA reference."""
+    monkeypatch.setattr(sk, "_EMULATE", True)
+    fn = bs.PROJ_L2
+    rng = random.Random(0xE5)
+    num_vars = 6
+    polys = [mle.random_poly(FR, rng, num_vars) for _ in range(fn.n_ins)]
+    x = mle.scalar(FR, rng.randrange(FR.modulus))
+    bound = [mle.bind_low(FR, p, x) for p in polys]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars - 2)]
+    eq = mle.eq_table(FR, point)
+    ref_sums = np.asarray(_round_sums(FR, bound, fn, eq))
+    los, his = zip(*(sk.to_halves_bitrev(FR, p) for p in polys))
+    eq_br = jnp.asarray(np.asarray(eq)[sk._bitrev_perm(num_vars - 2)]).T
+    sums, nlos, nhis = sk.bind_round_halves(FR, fn, list(los), list(his), x, eq_br)
+    assert np.array_equal(ref_sums, np.asarray(sums))
+    for b, nlo, nhi in zip(bound, nlos, nhis):
+        blo, bhi = sk.to_halves_bitrev(FR, b)
+        assert np.array_equal(np.asarray(blo), np.asarray(nlo))
+        assert np.array_equal(np.asarray(bhi), np.asarray(nhi))
+    outs = sk.bind_halves(FR, list(nlos), list(nhis), x)
+    ref2 = [np.asarray(mle.bind_low(FR, b, x)) for b in bound]
+    for r, o in zip(ref2, outs):
+        assert np.array_equal(r, np.asarray(sk.halves_to_natural(FR, o)))
+
+
+def test_bind_halves_roundtrip():
+    rng = random.Random(0x71F)
+    polys = [mle.random_poly(FR, rng, 5) for _ in range(2)]
+    x = mle.scalar(FR, rng.randrange(FR.modulus))
+    ref = [np.asarray(mle.bind_low(FR, p, x)) for p in polys]
+    los, his = zip(*(sk.to_halves_bitrev(FR, p) for p in polys))
+    outs = sk.bind_halves(FR, list(los), list(his), x)
+    for r, o in zip(ref, outs):
+        assert np.array_equal(r, np.asarray(sk.halves_to_natural(FR, o)))
+
+
 def test_lane_sum_exact():
     rng = random.Random(5)
     vals = [rng.randrange(FR.modulus) for _ in range(256)]
