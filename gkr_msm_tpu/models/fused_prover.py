@@ -150,48 +150,56 @@ def _device_rounds(
     multiplier = jnp.asarray(np.asarray(FR.one_mont, dtype=np.uint32))
     inv2 = jnp.asarray(_enc([fh.inv(2, P)])[0])
     inv6 = jnp.asarray(_enc([fh.inv(6, P)])[0])
-    two = jnp.asarray(_enc([2])[0])
-    three = jnp.asarray(_enc([3])[0])
     r2 = jnp.asarray(np.asarray(FR.r2_limbs, dtype=np.uint32))
 
     def round_algebra(sums, rcrow, state, claim, multiplier):
         """gamma-fold + from12 + interpolation + sponge for one round.
         Returns (msg_std (3,16), x_std (16,), x mont, state', claim',
-        multiplier') — everything except the bind.  rcrow[6] is the eq-prefix
-        rescale 1/prod(1-pt_dropped) (one shared eq table, see
-        _eq_bitrev_table); 1 for the natural-order path."""
-        eq1, eq2, eq3, inv_eq0, c_a, c_b, scale = (rcrow[i] for i in range(7))
+        multiplier') — everything except the bind.
 
-        def fold(row):
-            w = fl.mul(FR, row, gamma_pows)
-            acc = w[0]
-            for i in range(1, n_o):
-                acc = _sadd(acc, w[i])
-            return acc
+        The from12 algebra (host.py:132-146) is restructured so independent
+        scalar multiplies run as BATCHED fl.mul calls: serial tiny-op launch
+        latency is the dominant per-round cost (~6 ms/round as a plain
+        chain, scripts/tpu_tail_anatomy.py).  rcrow holds precomputed
+        per-round constants: [eq1, eq2, 3*eq3, inv(eq0)*eq3, c_a=(1-pt),
+        c_b=(2pt-1), eq-prefix rescale] — note e3 = p3*eq3 expands to
+        (t2-t1)*(3 eq3) + prod0*(inv(eq0) eq3), eliminating the p0 chain."""
+        eq1, eq2, eq3_3, inv_eq0_eq3, c_a, c_b, scale = (
+            rcrow[i] for i in range(7)
+        )
 
         mult_s = _smul(multiplier, scale)
-        total1 = _smul(fold(sums[0]), mult_s)
-        total2 = _smul(fold(sums[1]), mult_s)
-        # from12 (host.py:132-146) in Montgomery form with per-round consts
-        prod1 = _smul(total1, eq1)
+        w = fl.mul(FR, sums, gamma_pows[None])  # (2, n_o, 16)
+        acc = w[:, 0]
+        for i in range(1, n_o):
+            acc = fl.add(FR, acc, w[:, i])
+        totals = fl.mul(FR, acc, mult_s[None])  # (2, 16)
+        t1, t2 = totals[0], totals[1]
+        l2 = fl.mul(
+            FR,
+            jnp.stack([t1, t2, _ssub(t2, t1)]),
+            jnp.stack([eq1, eq2, eq3_3]),
+        )
+        prod1, e2, u = l2[0], l2[1], l2[2]
         prod0 = _ssub(claim, prod1)
-        p0 = _smul(prod0, inv_eq0)
-        p3 = _sadd(_ssub(_smul(three, total2), _smul(three, total1)), p0)
+        e3 = _sadd(u, _smul(prod0, inv_eq0_eq3))
         e0, e1 = prod0, prod1
-        e2 = _smul(total2, eq2)
-        e3 = _smul(p3, eq3)
         # interpolate_at_0123 (host.py:70-85)
         d1 = _ssub(e1, e0)
-        d2 = _sadd(_ssub(e2, _smul(two, e1)), e0)
-        d3 = _sadd(_ssub(e3, _smul(three, e2)), _ssub(_smul(three, e1), e0))
+        d2 = _sadd(_ssub(e2, _sadd(e1, e1)), e0)
+        e1_3 = _sadd(_sadd(e1, e1), e1)
+        e2_3 = _sadd(_sadd(e2, e2), e2)
+        d3 = _sadd(_ssub(e3, e2_3), _ssub(e1_3, e0))
+        l4 = fl.mul(
+            FR, jnp.stack([d2, d3]), jnp.stack([inv2, inv6])
+        )
+        w2, w3 = l4[0], l4[1]  # d2/2, d3/6
         c0 = e0
-        c1 = _sadd(_ssub(d1, _smul(d2, inv2)), _smul(_smul(d3, inv6), two))
-        c2 = _ssub(_smul(d2, inv2), _smul(d3, inv2))
-        c3 = _smul(d3, inv6)
+        c3 = w3
+        c1 = _sadd(_ssub(d1, w2), _sadd(w3, w3))
+        c2 = _ssub(w2, _sadd(_sadd(w3, w3), w3))  # (d2 - d3)/2
         # round message = compressed coeffs [c0, c2, c3] in standard form
-        msg_std = jnp.stack(
-            [fl.from_mont(FR, c[None])[0] for c in (c0, c2, c3)]
-        )  # (3, 16)
+        msg_std = fl.from_mont(FR, jnp.stack([c0, c2, c3]))  # (3, 16)
         payload = jnp.concatenate(
             [_std_limbs_to_words(msg_std[i]) for i in range(3)]
         )
@@ -200,10 +208,15 @@ def _device_rounds(
         x_std = _digest16_to_limbs(d4)
         x = _smul(x_std, r2)  # to Montgomery (128-bit value < p: no reduction)
         # multiplier *= (1 - pt) + x*(2pt - 1);  claim = evaluate_univar(c, x)
-        multiplier = _smul(multiplier, _sadd(c_a, _smul(x, c_b)))
-        claim = _sadd(
-            _smul(_sadd(_smul(_sadd(_smul(c3, x), c2), x), c1), x), c0
+        l7 = fl.mul(FR, jnp.stack([c_b, c3]), jnp.stack([x, x]))
+        m1, cx1 = l7[0], l7[1]
+        l8 = fl.mul(
+            FR,
+            jnp.stack([multiplier, _sadd(cx1, c2)]),
+            jnp.stack([_sadd(c_a, m1), x]),
         )
+        multiplier = l8[0]
+        claim = _sadd(_smul(_sadd(l8[1], c1), x), c0)
         return msg_std, x_std, x, state, claim, multiplier
 
     S = 1 << tail_log
@@ -352,7 +365,9 @@ def prove_rounds_device(
             halves = False  # rescale undefined; fall back to the plain path
             break
         scales[r] = scales[r - 1] * fh.inv(d, P) % P
-    # per-round eq-point constants, host side (point[-1] bound first)
+    # per-round eq-point constants, host side (point[-1] bound first);
+    # layout matches round_algebra: [eq1, eq2, 3*eq3, inv(eq0)*eq3,
+    # c_a=(1-pt), c_b=(2pt-1), eq-prefix rescale]
     rows = []
     for r in range(R):
         pt = point[-1 - r] % P
@@ -361,8 +376,8 @@ def prove_rounds_device(
         eq2 = (2 * eq1 - eq0) % P
         eq3 = (2 * eq2 - eq1) % P
         rows.extend(
-            [eq1, eq2, eq3, fh.inv(eq0, P), eq0, (2 * pt - 1) % P,
-             scales[r] if halves else 1]
+            [eq1, eq2, 3 * eq3 % P, fh.inv(eq0, P) * eq3 % P, eq0,
+             (2 * pt - 1) % P, scales[r] if halves else 1]
         )
     rc = jnp.asarray(_enc(rows).reshape(R, 7, FR.n_limbs))
     if R > 1:
