@@ -39,11 +39,12 @@ P = FR.modulus
 # -----------------------------------------------------------------------------
 
 def _std_limbs_to_words(s: jnp.ndarray) -> jnp.ndarray:
-    """(16,) standard-form 16-bit limbs -> (8,) BE uint32 words of the
-    32-byte little-endian scalar encoding (Transcript.write_scalars)."""
+    """(..., 16) standard-form 16-bit limbs -> (..., 8) BE uint32 words of
+    the 32-byte little-endian scalar encoding (Transcript.write_scalars).
+    Vectorized over leading axes (a scalar chain costs ~12 tiny ops/call)."""
     l = s.astype(jnp.uint32)
-    lo = l[0::2]
-    hi = l[1::2]
+    lo = l[..., 0::2]
+    hi = l[..., 1::2]
     return (
         ((lo & 0xFF) << 24)
         | ((lo >> 8) << 16)
@@ -52,16 +53,16 @@ def _std_limbs_to_words(s: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+_D4_IDX = np.arange(16) // 4
+_D4_SHIFT = ((3 - (np.arange(16) % 4)) * 8).astype(np.uint32)
+
+
 def _digest16_to_limbs(d4: jnp.ndarray) -> jnp.ndarray:
     """(4,) BE words (first 16 digest bytes) -> (16,) 16-bit limbs of the
     128-bit little-endian challenge integer (Transcript.challenge(128))."""
-    b = []
-    for k in range(16):
-        w = d4[k // 4]
-        b.append((w >> ((3 - (k % 4)) * 8)) & 0xFF)
-    limbs = [b[2 * j] | (b[2 * j + 1] << 8) for j in range(8)]
-    limbs += [jnp.uint32(0)] * 8
-    return jnp.stack(limbs)
+    b = (d4[jnp.asarray(_D4_IDX)] >> jnp.asarray(_D4_SHIFT)) & 0xFF
+    limbs = b[0::2] | (b[1::2] << 8)
+    return jnp.concatenate([limbs, jnp.zeros((8,), jnp.uint32)])
 
 
 # -----------------------------------------------------------------------------
@@ -109,13 +110,14 @@ def _zpad0(arr: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fn", "use_pallas", "tail_log", "halves")
+    jax.jit, static_argnames=("fn", "use_pallas", "tail_log", "halves", "alg")
 )
 def _device_rounds(
     fn: AlgFn,
     use_pallas: bool,
     tail_log: int,
     halves: bool,
+    alg: bool,  # run the per-round scalar algebra as pallas kernels
     polys: Tuple[jnp.ndarray, ...],
     pt_enc: jnp.ndarray,  # (R-1, 16) Montgomery point coords (eq tables are
     # derived in-program: no per-table host dispatches over the tunnel)
@@ -164,6 +166,21 @@ def _device_rounds(
         per-round constants: [eq1, eq2, 3*eq3, inv(eq0)*eq3, c_a=(1-pt),
         c_b=(2pt-1), eq-prefix rescale] — note e3 = p3*eq3 expands to
         (t2-t1)*(3 eq3) + prod0*(inv(eq0) eq3), eliminating the p0 chain."""
+        if alg:
+            # two-dispatch pallas version of the chain below (bit-identical:
+            # all intermediates are canonical field elements)
+            c0, c1, c2, c3, msg_std = sk.algebra_pre(
+                FR, n_o, sums, claim, multiplier, gamma_pows, rcrow
+            )
+            payload = _std_limbs_to_words(msg_std).reshape(24)
+            state = shj.absorb(state, payload, 96)
+            d4, state = shj.squeeze128_and_ratchet(state)
+            x_std = _digest16_to_limbs(d4)
+            x, multiplier, claim = sk.algebra_post(
+                FR, x_std, c0, c1, c2, c3, multiplier, rcrow[4], rcrow[5]
+            )
+            return msg_std, x_std, x, state, claim, multiplier
+
         eq1, eq2, eq3_3, inv_eq0_eq3, c_a, c_b, scale = (
             rcrow[i] for i in range(7)
         )
@@ -200,9 +217,7 @@ def _device_rounds(
         c2 = _ssub(w2, _sadd(_sadd(w3, w3), w3))  # (d2 - d3)/2
         # round message = compressed coeffs [c0, c2, c3] in standard form
         msg_std = fl.from_mont(FR, jnp.stack([c0, c2, c3]))  # (3, 16)
-        payload = jnp.concatenate(
-            [_std_limbs_to_words(msg_std[i]) for i in range(3)]
-        )
+        payload = _std_limbs_to_words(msg_std).reshape(24)
         state = shj.absorb(state, payload, 96)
         d4, state = shj.squeeze128_and_ratchet(state)
         x_std = _digest16_to_limbs(d4)
@@ -393,6 +408,7 @@ def prove_rounds_device(
         fk._FORCE != "0",
         TAIL_LOG,
         halves,
+        sk.should_use_algebra(),
         tuple(polys),
         pt_enc,
         state0,

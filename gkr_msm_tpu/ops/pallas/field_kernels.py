@@ -218,6 +218,44 @@ def _lane_sum_t(spec: FieldSpec, w: jnp.ndarray) -> jnp.ndarray:
     return _mont_mul_const_t(spec, s, spec.r2_limbs)
 
 
+def _mul_wide_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Non-reduced product of Montgomery operands: (2n, B) carried limbs.
+
+    Skips REDC entirely — used when many products are SUMMED before one
+    deferred reduction (_lane_sum_wide_t), saving ~2/3 of the per-element
+    multiply cost."""
+    n = spec.n_limbs
+    cols = _schoolbook_t(a, b, 2 * n)
+    t, _ = _carry_t(cols, 2 * n)
+    return t
+
+
+def _lane_sum_wide_t(spec: FieldSpec, w: jnp.ndarray) -> jnp.ndarray:
+    """Exact field sum over lanes of NON-reduced products: (2n, B) -> (n, 1).
+
+    The integer sum V = sum a_i b_i < B * p^2 exceeds the single-REDC bound
+    p*R, so reduce in two REDC steps (V -> V/R -> V/R^2 = sum x_i y_i in
+    standard form), then one R^2 Montgomery multiply restores Montgomery
+    form — bit-identical to reducing each product then field-summing."""
+    n = spec.n_limbs
+    B = w.shape[1]
+    assert B < (1 << LIMB_BITS)
+    while w.shape[1] > 1:
+        half = w.shape[1] // 2
+        w = w[:, :half] + w[:, half : 2 * half]
+    v, _ = _carry_t(w, 2 * n + 2)  # columns < B*2^16 < 2^32
+    # REDC step 1: V -> (V + m*p)/R, an (n+2)-limb value
+    m_cols = _schoolbook_const_t(v[:n], spec.np_limbs, n)
+    m, _ = _carry_t(m_cols, n)
+    mp_cols = _schoolbook_const_t(m, spec.p_limbs, 2 * n + 2)
+    total = mp_cols + _shift_rows(v, 0, 2 * n + 2)
+    full, _ = _carry_t(total, 2 * n + 2)
+    v1 = full[n : 2 * n + 2]  # V/R, < B*p^2/R + p  (fits n+2 limbs)
+    # REDC step 2 (standard bound holds: V/R < p*R easily)
+    std = _mont_reduce_t(spec, _shift_rows(v1, 0, 2 * n))
+    return _mont_mul_const_t(spec, std, spec.r2_limbs)
+
+
 def _add_t(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     s, carry = _add_limbs_t(a, b)
     return _cond_sub_p_t(spec, s, extra_carry=carry)

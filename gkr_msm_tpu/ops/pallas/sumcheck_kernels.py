@@ -282,7 +282,11 @@ def _tree_sum_partials(spec: FieldSpec, out: jnp.ndarray, n_outs: int):
 
 
 def _round_sums_body(spec: FieldSpec, fn: AlgFn, evens, odds, eq, out_ref):
-    """Shared kernel tail: at2, AlgFn at t=1,2, eq-weight, exact lane sums."""
+    """Shared kernel tail: at2, AlgFn at t=1,2, eq-weight, exact lane sums.
+
+    Eq-weighting uses NON-reduced products with one deferred two-step REDC
+    per output per block (field_kernels._lane_sum_wide_t) — ~2/3 cheaper per
+    element than a full Montgomery multiply, bit-identical results."""
     tops = fk.TOps(spec)
     at2 = [tops.sub(tops.add(o, o), e) for o, e in zip(odds, evens)]
     f1 = fn.ops_fn(tops, odds)
@@ -290,7 +294,8 @@ def _round_sums_body(spec: FieldSpec, fn: AlgFn, evens, odds, eq, out_ref):
     rows = []
     for outs in (f1, f2):
         for o in outs:
-            rows.append(fk._lane_sum_t(spec, tops.mul(o, eq))[:, 0])
+            w = fk._mul_wide_t(spec, o, eq)
+            rows.append(fk._lane_sum_wide_t(spec, w)[:, 0])
     out_ref[0] = jnp.stack(rows)
 
 
@@ -547,6 +552,170 @@ def bind_halves(spec: FieldSpec, los, his, x):
     return _bind_halves_call(
         spec, len(los), tuple(ins), x_col, block, fk._INTERPRET
     )
+
+
+# -----------------------------------------------------------------------------
+# per-round scalar-algebra kernels
+# -----------------------------------------------------------------------------
+#
+# The from12/interpolation/challenge algebra is ~30 scalar field ops per
+# round; as XLA ops each costs ~8-15us of launch latency (~2 ms/round even
+# batched).  These two kernels run the whole chain as ONE dispatch before the
+# sponge and one after, on (n_limbs, k) columns in VMEM.  Values are exact
+# canonical field elements, so outputs are bit-identical to the XLA chain.
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_consts(spec: FieldSpec):
+    from ..field import host as fh
+    from ..field import limbs as fl
+
+    p = spec.modulus
+    return (
+        tuple(int(v) for v in fl.encode_ints(spec, [fh.inv(2, p)])[0]),
+        tuple(int(v) for v in fl.encode_ints(spec, [fh.inv(6, p)])[0]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _algebra_pre_call(
+    spec: FieldSpec, t1, t2, claim, eq1, eq2, eq3_3, ie3, iv2, iv6,
+    interpret: bool,
+):
+    """Pre-sponge round algebra (after the XLA-side gamma fold): from12 +
+    interpolation.  All operands are separate (L, 1) refs — Mosaic cannot
+    concatenate vectors whose LANE offsets differ, so no value is ever
+    extracted from a packed array by lane index; fresh results all carry
+    lane offset 0, making the batched from_mont concat legal.
+
+    Returns (L, 7): [c0, c1, c2, c3 (mont), msg0, msg1, msg2 (standard)]."""
+    n = spec.n_limbs
+    tops = fk.TOps(spec)
+
+    def kernel(t1r, t2r, clr, e1r, e2r, e3r, ier, i2r, i6r, o_ref):
+        t = tops
+        t1v, t2v, claimv = t1r[:], t2r[:], clr[:]
+        prod1 = t.mul(t1v, e1r[:])
+        e2v = t.mul(t2v, e2r[:])
+        u = t.mul(t.sub(t2v, t1v), e3r[:])
+        prod0 = t.sub(claimv, prod1)
+        e3v = t.add(u, t.mul(prod0, ier[:]))
+        e0, e1v = prod0, prod1
+        d1 = t.sub(e1v, e0)
+        d2 = t.add(t.sub(e2v, t.double(e1v)), e0)
+        d3 = t.add(
+            t.sub(e3v, t.add(t.double(e2v), e2v)),
+            t.sub(t.add(t.double(e1v), e1v), e0),
+        )
+        w2 = t.mul(d2, i2r[:])
+        w3 = t.mul(d3, i6r[:])
+        c0, c3 = e0, w3
+        c1 = t.add(t.sub(d1, w2), t.double(w3))
+        c2 = t.sub(w2, t.add(t.double(w3), w3))
+        msg = fk._mont_reduce_t(
+            spec,
+            fk._shift_rows(
+                jnp.concatenate([c0, c2, c3], axis=1), 0, 2 * n
+            ),
+        )  # batched from_mont
+        o_ref[:] = jnp.concatenate([c0, c1, c2, c3, msg], axis=1)
+
+    full = lambda k: pl.BlockSpec(
+        (n, k), lambda: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 7), jnp.uint32),
+        in_specs=[full(1) for _ in range(9)],
+        out_specs=full(7),
+        interpret=interpret,
+    )(t1, t2, claim, eq1, eq2, eq3_3, ie3, iv2, iv6)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _algebra_post_call(
+    spec: FieldSpec, x_std, c0, c1, c2, c3, mult, c_a, c_b, interpret: bool
+):
+    """Post-sponge update: challenge to Montgomery, multiplier and claim.
+    Separate (L, 1) refs (see _algebra_pre_call's lane-offset note).
+    Returns (L, 3): [x (mont), multiplier', claim']."""
+    n = spec.n_limbs
+    tops = fk.TOps(spec)
+    r2 = tuple(int(v) for v in np.asarray(spec.r2_limbs))
+
+    def kernel(xr, c0r, c1r, c2r, c3r, mr, ar, br, o_ref):
+        t = tops
+        x = t.mul_const(xr[:], r2)
+        m1 = t.mul(br[:], x)
+        cx1 = t.mul(c3r[:], x)
+        mult2 = t.mul(mr[:], t.add(ar[:], m1))
+        claim2 = t.add(
+            t.mul(t.add(t.mul(t.add(cx1, c2r[:]), x), c1r[:]), x), c0r[:]
+        )
+        o_ref[:] = jnp.concatenate([x, mult2, claim2], axis=1)
+
+    full = lambda k: pl.BlockSpec(
+        (n, k), lambda: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 3), jnp.uint32),
+        in_specs=[full(1) for _ in range(8)],
+        out_specs=full(3),
+        interpret=interpret,
+    )(x_std, c0, c1, c2, c3, mult, c_a, c_b)
+
+
+def algebra_pre(spec, n_o, sums, claim, multiplier, gamma_pows, rcrow):
+    """sums (2, n_o, L), scalars (L,), gamma_pows (n_o, L), rcrow (7, L) ->
+    (c0..c3 mont (L,) each, msg_std (3, L)).
+
+    The gamma fold runs as a few batched XLA ops; the serial from12 chain is
+    one pallas dispatch."""
+    from ..field import limbs as fl
+
+    inv2_l, inv6_l = _inv_consts(spec)
+    iv2 = jnp.asarray(np.array(inv2_l, dtype=np.uint32)).reshape(-1, 1)
+    iv6 = jnp.asarray(np.array(inv6_l, dtype=np.uint32)).reshape(-1, 1)
+    mult_s = fl.mul(spec, multiplier[None], rcrow[6][None])[0]
+    w = fl.mul(spec, sums, gamma_pows[None])  # (2, n_o, L)
+    acc = w[:, 0]
+    for i in range(1, n_o):
+        acc = fl.add(spec, acc, w[:, i])
+    totals = fl.mul(spec, acc, mult_s[None])  # (2, L)
+    out = _algebra_pre_call(
+        spec,
+        totals[0].reshape(-1, 1),
+        totals[1].reshape(-1, 1),
+        claim.reshape(-1, 1),
+        rcrow[0].reshape(-1, 1),
+        rcrow[1].reshape(-1, 1),
+        rcrow[2].reshape(-1, 1),
+        rcrow[3].reshape(-1, 1),
+        iv2,
+        iv6,
+        fk._INTERPRET,
+    )
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4:7].T
+
+
+def algebra_post(spec, x_std, c0, c1, c2, c3, multiplier, c_a, c_b):
+    """-> (x mont, multiplier', claim'), each (L,)."""
+    cc = lambda v: v.reshape(-1, 1)
+    out = _algebra_post_call(
+        spec, cc(x_std), cc(c0), cc(c1), cc(c2), cc(c3), cc(multiplier),
+        cc(c_a), cc(c_b), fk._INTERPRET,
+    )
+    return out[:, 0], out[:, 1], out[:, 2]
+
+
+def should_use_algebra() -> bool:
+    """Policy for the scalar-algebra kernels (any size: they're O(1))."""
+    if fk._FORCE == "0" or _EMULATE:
+        return False
+    if fk._FORCE != "1" and not fk._backend_is_tpu():
+        return False
+    return True
 
 
 def should_use_halves(spec: FieldSpec, fn: AlgFn, m: int, tail_size: int) -> bool:

@@ -145,6 +145,65 @@ def test_bind_halves_roundtrip():
         assert np.array_equal(r, np.asarray(sk.halves_to_natural(FR, o)))
 
 
+def test_algebra_kernels_match_host_math():
+    """The pre/post scalar-algebra pallas kernels (interpret mode) reproduce
+    the host from12 + interpolation + challenge algebra bit-exactly."""
+    from gkr_msm_tpu.ops.field import host as fh
+
+    p = FR.modulus
+    rng = random.Random(0xA19)
+    n_o = 4
+    sums_i = [[rng.randrange(p) for _ in range(n_o)] for _ in range(2)]
+    claim_i = rng.randrange(p)
+    mult_i = rng.randrange(p)
+    gp_i = [rng.randrange(p) for _ in range(n_o)]
+    pt = rng.randrange(p)
+    eq0 = (1 - pt) % p
+    rc_i = [pt, (2 * pt - eq0) % p, 3 * (2 * (2 * pt - eq0) - pt) % p,
+            fh.inv(eq0, p) * (2 * (2 * pt - eq0) - pt) % p, eq0,
+            (2 * pt - 1) % p, 1]
+
+    enc = lambda vals: jnp.asarray(fl.encode_ints(FR, list(vals)))
+    sums = enc(sums_i[0] + sums_i[1]).reshape(2, n_o, FR.n_limbs)
+    c0, c1, c2, c3, msg_std = sk.algebra_pre(
+        FR, n_o, sums, enc([claim_i])[0], enc([mult_i])[0], enc(gp_i),
+        enc(rc_i),
+    )
+
+    # host reference: totals -> from12 coeffs
+    def fold(row):
+        acc = 0
+        for v, g in zip(row, gp_i):
+            acc = (acc + v * g) % p
+        return acc
+
+    t1 = fold(sums_i[0]) * mult_i % p
+    t2 = fold(sums_i[1]) * mult_i % p
+    coeffs = fh.from12(t1, t2, pt, claim_i, p)
+    got_c = fl.decode_ints(FR, jnp.stack([c0, c1, c2, c3]))
+    assert got_c == coeffs
+    msg_ints = fl.decode_ints(FR, msg_std, mont=False)
+    assert msg_ints == [coeffs[0], coeffs[2], coeffs[3]]
+
+    # post-sponge update
+    x_i = rng.randrange(1 << 128)
+    x_limbs = [(x_i >> (16 * j)) & 0xFFFF for j in range(8)] + [0] * 8
+    x_std = jnp.asarray(np.array(x_limbs, dtype=np.uint32))
+    xm, mult2, claim2 = sk.algebra_post(
+        FR, x_std, c0, c1, c2, c3, enc([mult_i])[0],
+        enc([eq0])[0], enc([(2 * pt - 1) % p])[0],
+    )
+    assert fl.decode_ints(FR, xm[None])[0] == x_i % p
+    assert (
+        fl.decode_ints(FR, mult2[None])[0]
+        == mult_i * ((1 - pt - x_i + 2 * pt * x_i) % p) % p
+    )
+    assert (
+        fl.decode_ints(FR, claim2[None])[0]
+        == fh.evaluate_univar(coeffs, x_i, p)
+    )
+
+
 def test_lane_sum_exact():
     rng = random.Random(5)
     vals = [rng.randrange(FR.modulus) for _ in range(256)]
