@@ -477,6 +477,66 @@ def _emulate_bind_round_halves(spec, fn, los, his, x_col, eq_t):
     return sums, new_los, new_his
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "fn", "interpret"))
+def _bind_round_halves_small_call(
+    spec: FieldSpec,
+    fn: AlgFn,
+    ins: tuple,  # per poly [lo_a, hi_a, lo_b, hi_b], each (L, m) FULL blocks
+    x_col: jnp.ndarray,
+    eq_t: jnp.ndarray,  # (L, m) pre-sliced
+    interpret: bool,
+):
+    """Gridless bind+round for m < 128: Mosaic requires lane dims divisible
+    by 128 OR equal to the whole array, so the quarters arrive pre-sliced."""
+    n = spec.n_limbs
+    n_i = fn.n_ins
+    m = eq_t.shape[1]
+    tops = fk.TOps(spec)
+
+    def kernel(*refs):
+        in_refs = refs[: 4 * n_i]
+        x_ref = refs[4 * n_i]
+        eq_ref = refs[4 * n_i + 1]
+        sums_ref = refs[4 * n_i + 2]
+        lo_outs = refs[4 * n_i + 3 : 4 * n_i + 3 + n_i]
+        hi_outs = refs[4 * n_i + 3 + n_i :]
+        x = jnp.broadcast_to(x_ref[:], (n, m))
+        evens, odds = [], []
+        for k in range(n_i):
+            lo_a = in_refs[4 * k][:]
+            hi_a = in_refs[4 * k + 1][:]
+            lo_b = in_refs[4 * k + 2][:]
+            hi_b = in_refs[4 * k + 3][:]
+            b_e = tops.add(lo_a, tops.mul(tops.sub(hi_a, lo_a), x))
+            b_o = tops.add(lo_b, tops.mul(tops.sub(hi_b, lo_b), x))
+            lo_outs[k][:] = b_e
+            hi_outs[k][:] = b_o
+            evens.append(b_e)
+            odds.append(b_o)
+        _round_sums_body(spec, fn, evens, odds, eq_ref[:], sums_ref)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((1, 2 * fn.n_outs, n), jnp.uint32)]
+        + [jax.ShapeDtypeStruct((n, m), jnp.uint32) for _ in range(2 * n_i)]
+    )
+    out_specs = [full((1, 2 * fn.n_outs, n))] + [
+        full((n, m)) for _ in range(2 * n_i)
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[full((n, m)) for _ in range(4 * n_i)]
+        + [full((n, 1)), full((n, m))],
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*ins, x_col, eq_t)
+    sums = _tree_sum_partials(spec, outs[0], fn.n_outs)
+    return sums, list(outs[1 : 1 + n_i]), list(outs[1 + n_i :])
+
+
 def bind_round_halves(spec: FieldSpec, fn: AlgFn, los, his, x, eq_t):
     """Fused (bind previous challenge x) + (this round's sums): ONE kernel.
 
@@ -488,6 +548,13 @@ def bind_round_halves(spec: FieldSpec, fn: AlgFn, los, his, x, eq_t):
     if _EMULATE:
         return _emulate_bind_round_halves(spec, fn, los, his, x_col, eq_t)
     m = los[0].shape[1] // 2
+    if m < 128:
+        ins = []
+        for lo, hi in zip(los, his):
+            ins.extend((lo[:, :m], hi[:, :m], lo[:, m:], hi[:, m:]))
+        return _bind_round_halves_small_call(
+            spec, fn, tuple(ins), x_col, eq_t[:, :m], fk._INTERPRET
+        )
     block = min(DEFAULT_BLOCK, m)
     ins = []
     for lo, hi in zip(los, his):
@@ -724,8 +791,8 @@ def should_use_halves(spec: FieldSpec, fn: AlgFn, m: int, tail_size: int) -> boo
         return False
     if fk._FORCE != "1" and not fk._backend_is_tpu():
         return False
-    if fk._FORCE != "1" and tail_size < 256:
-        return False  # smallest bind_round grid is tail_size/2 >= 128 lanes
+    if fk._FORCE != "1" and tail_size < 4:
+        return False  # smallest bind_round grid is tail_size/2 lanes
     return _supports(fn) and m > tail_size and m >= 2 * fk.MIN_PALLAS_ELEMS
 
 
