@@ -63,16 +63,7 @@ def _fused_round_call(
         out_ref = refs[2 * fn.n_ins + 1]
         evens = [in_refs[2 * k][:] for k in range(fn.n_ins)]
         odds = [in_refs[2 * k + 1][:] for k in range(fn.n_ins)]
-        eq = eq_ref[:]
-        at2 = [tops.sub(tops.add(o, o), e) for o, e in zip(odds, evens)]
-        f1 = fn.ops_fn(tops, odds)
-        f2 = fn.ops_fn(tops, at2)
-        rows = []
-        for outs in (f1, f2):
-            for o in outs:
-                w = tops.mul(o, eq)
-                rows.append(fk._lane_sum_t(spec, w)[:, 0])  # (L,)
-        out_ref[0] = jnp.stack(rows)  # (2*n_outs, L)
+        _round_sums_body(spec, fn, evens, odds, eq_ref[:], out_ref)
 
     bspec = lambda: pl.BlockSpec((n, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
