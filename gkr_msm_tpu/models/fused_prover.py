@@ -123,6 +123,8 @@ def _device_rounds(
     # derived in-program: no per-table host dispatches over the tunnel)
     state0: jnp.ndarray,  # (8,) sponge words
     claim0: jnp.ndarray,  # (16,) mont
+    mult0: jnp.ndarray,  # (16,) mont initial eq multiplier (1 unless this
+    # continues a protocol mid-stream, e.g. the rect prover's dense phase)
     gamma_pows: jnp.ndarray,  # (n_outs, 16) mont
     rc: jnp.ndarray,  # (R, 7, 16) mont per-round constants:
     #   [eq1, eq2, eq3, inv_eq0, c_a=(1-pt), c_b=(2pt-1), eq-prefix rescale]
@@ -149,7 +151,7 @@ def _device_rounds(
     polys = list(polys)
     state = state0
     claim = claim0
-    multiplier = jnp.asarray(np.asarray(FR.one_mont, dtype=np.uint32))
+    multiplier = mult0
     inv2 = jnp.asarray(_enc([fh.inv(2, P)])[0])
     inv6 = jnp.asarray(_enc([fh.inv(6, P)])[0])
     r2 = jnp.asarray(np.asarray(FR.r2_limbs, dtype=np.uint32))
@@ -357,10 +359,14 @@ def prove_rounds_device(
     point: List[int],
     gamma_pows: List[int],
     claim: int,
+    multiplier0: int = 1,
 ):
     """Drive all rounds on device, then replay messages through the host
     transcript. Mirrors models/sumcheck.prove_rounds' outputs:
-    ((final_claim, reversed challenges), final_evals)."""
+    ((final_claim, reversed challenges), final_evals).
+
+    multiplier0 continues a protocol mid-stream (the rect prover's dense
+    phase inherits the sparse phase's eq multiplier)."""
     from ..ops.pallas import field_kernels as fk
     from ..ops.pallas import sumcheck_kernels as sk
 
@@ -401,7 +407,9 @@ def prove_rounds_device(
         pt_enc = jnp.zeros((0, FR.n_limbs), jnp.uint32)
     state0 = jnp.asarray(shj.state_from_host(tr._state))
     gp = jnp.asarray(_enc(gamma_pows[:n_o] + [0] * max(0, n_o - len(gamma_pows))))
-    claim0 = jnp.asarray(_enc([claim])[0])
+    cm = _enc([claim, multiplier0 % P])
+    claim0 = jnp.asarray(cm[0])
+    mult0 = jnp.asarray(cm[1])
 
     flat = _device_rounds(
         fn,
@@ -413,6 +421,7 @@ def prove_rounds_device(
         pt_enc,
         state0,
         claim0,
+        mult0,
         gp,
         rc,
     )
@@ -447,3 +456,17 @@ def should_use(fn: AlgFn, num_vars: int) -> bool:
     if fk._FORCE != "1" and not fk._backend_is_tpu():
         return False
     return fn.ops_fn is not None and num_vars >= 12
+
+
+def should_use_small(fn: AlgFn) -> bool:
+    """Policy for SMALL single-dispatch proves (e.g. the rect prover's dense
+    phase): a per-round host loop costs 2 dispatches/round — through the
+    remote-TPU tunnel ~40 ms/round of latency — so one device program wins
+    at any size on TPU."""
+    from ..ops.pallas import field_kernels as fk
+
+    if fk._FORCE == "0":
+        return False
+    if fk._FORCE != "1" and not fk._backend_is_tpu():
+        return False
+    return True

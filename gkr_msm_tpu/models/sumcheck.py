@@ -730,9 +730,42 @@ class RectDeg2Sumcheck:
         obj = RectSumcheckObject(
             self.spec, polys, self.fn, gamma_pows, folded, claims.point
         )
-        (final_claim, point), poly_evs = prove_rounds(
-            tr, obj, self.degrees(), folded
-        )
+        from . import fused_prover as fp
+
+        row_rounds = self.num_vars - self.col_logsize
+        if (
+            self.spec is FR
+            and self.col_logsize > 0
+            and fp.should_use_small(self.fn)
+        ):
+            # sparse (row) rounds host-driven; the dense column phase runs
+            # as ONE device dispatch continuing the same claim/multiplier
+            # (byte-identical transcript, tested in test_pallas_sumcheck)
+            chals = []
+            d = self.fn.deg + 1
+            for _ in range(row_rounds):
+                coeffs = obj.unipoly()
+                msg = fh.compress_coefficients(coeffs)
+                assert len(msg) == d
+                tr.write_scalars(msg)
+                x = tr.challenge(SUMCHECK_CHALLENGE_BITS)
+                chals.append(x)
+                obj.bind(x)
+            dobj = obj.dense_obj
+            (final_claim, pt_dense), poly_evs = fp.prove_rounds_device(
+                tr,
+                self.fn,
+                dobj.polys,
+                dobj.point,
+                dobj.gamma_pows,
+                dobj.claim,
+                multiplier0=dobj.multiplier,
+            )
+            point = pt_dense + list(reversed(chals))
+        else:
+            (final_claim, point), poly_evs = prove_rounds(
+                tr, obj, self.degrees(), folded
+            )
         poly_evs = poly_evs[: self.fn.n_ins]
         tr.write_scalars(poly_evs)
         return SinglePointClaims(point=point, evs=poly_evs), None

@@ -32,7 +32,9 @@ from ..field.spec import FieldSpec
 from ..poly.algfn import AlgFn
 from . import field_kernels as fk
 
-DEFAULT_BLOCK = 512
+import os as _os_blk
+
+DEFAULT_BLOCK = int(_os_blk.environ.get("GKR_MSM_PALLAS_BLOCK", "512"))
 
 
 def _supports(fn: AlgFn) -> bool:

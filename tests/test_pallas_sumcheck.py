@@ -213,6 +213,49 @@ def test_lane_sum_exact():
     assert fl.decode_ints(FR, got[None])[0] == expected
 
 
+def test_rect_dense_phase_device_handoff(monkeypatch):
+    """RectDeg2Sumcheck with the dense column phase handed to the single-
+    dispatch device prover must produce a byte-identical transcript."""
+    import random
+
+    from gkr_msm_tpu.models import fused_prover as fp
+    from gkr_msm_tpu.models.sumcheck import RectDeg2Sumcheck, SinglePointClaims
+    from gkr_msm_tpu.ops.poly.rect import RectPoly, rect_map
+    from gkr_msm_tpu.utils.transcript import Transcript
+
+    rng = random.Random(0x1E57)
+    row_logsize, col_logsize = 3, 3
+    num_vars = row_logsize + col_logsize
+    fn = bs.AFFINE_L1
+    n_rows = rng.randrange(1 << col_logsize) + 1
+    lens = [rng.randrange(1 << row_logsize) + 1 for _ in range(n_rows)]
+    rows = [[rng.randrange(FR.modulus) for _ in range(l)] for l in lens]
+    mk = lambda pr, pc: RectPoly.from_rows(
+        FR, rows, pr, pc, row_logsize, col_logsize
+    )
+    polys = [mk(0, 0), mk(1, 1), mk(0, 0), mk(1, 1)]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars)]
+    evs = [o.evaluate(point) for o in rect_map(polys, fn)]
+    claims = SinglePointClaims(point=point, evs=evs)
+    proto = RectDeg2Sumcheck(fn, num_vars, col_logsize)
+
+    def run():
+        tr = Transcript(b"rect-dev")
+        out, _ = proto.prove(tr, claims, polys)
+        return out, tr.end()
+
+    ref_claims, ref = run()
+    monkeypatch.setattr(fp, "should_use_small", lambda f: True)
+    got_claims, got = run()
+    assert ref == got
+    assert ref_claims.point == got_claims.point
+    assert ref_claims.evs == got_claims.evs
+    tv = Transcript(b"rect-dev", proof=got)
+    vout = proto.verify(tv, claims)
+    tv.assert_end()
+    assert vout.point == got_claims.point
+
+
 def test_rect_prover_fused_matches_xla(monkeypatch):
     """Rect sparse rounds through the flattened fused kernel (interpret mode)
     must produce byte-identical proofs to the XLA rect path."""
