@@ -109,65 +109,29 @@ def _zpad0(arr: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.concatenate([arr, pad], axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("fn", "use_pallas", "tail_log", "halves", "alg")
-)
-def _device_rounds(
-    fn: AlgFn,
-    use_pallas: bool,
-    tail_log: int,
-    halves: bool,
-    alg: bool,  # run the per-round scalar algebra as pallas kernels
-    polys: Tuple[jnp.ndarray, ...],
-    pt_enc: jnp.ndarray,  # (R-1, 16) Montgomery point coords (eq tables are
-    # derived in-program: no per-table host dispatches over the tunnel)
-    state0: jnp.ndarray,  # (8,) sponge words
-    claim0: jnp.ndarray,  # (16,) mont
-    mult0: jnp.ndarray,  # (16,) mont initial eq multiplier (1 unless this
-    # continues a protocol mid-stream, e.g. the rect prover's dense phase)
-    gamma_pows: jnp.ndarray,  # (n_outs, 16) mont
-    rc: jnp.ndarray,  # (R, 7, 16) mont per-round constants:
-    #   [eq1, eq2, eq3, inv_eq0, c_a=(1-pt), c_b=(2pt-1), eq-prefix rescale]
-):
-    from ..models.sumcheck import _round_sums
-    from ..ops.pallas import sumcheck_kernels as sk
-    from ..ops.poly import mle
+def _make_round_algebra(fn: AlgFn, gamma_pows, alg: bool):
+    """Shared per-round algebra closure for the device drivers.
 
-    R = rc.shape[0]
+    gamma-fold + from12 + interpolation + sponge for one round; returns
+    (msg_std (3,16), x_std (16,), x mont, state', claim', multiplier') —
+    everything except the bind.
+
+    The from12 algebra (host.py:132-146) is restructured so independent
+    scalar multiplies run as BATCHED fl.mul calls: serial tiny-op launch
+    latency is the dominant per-round cost (~6 ms/round as a plain chain,
+    scripts/tpu_tail_anatomy.py).  rcrow holds precomputed per-round
+    constants: [eq1, eq2, 3*eq3, inv(eq0)*eq3, c_a=(1-pt), c_b=(2pt-1),
+    eq-prefix rescale] — note e3 = p3*eq3 expands to (t2-t1)*(3 eq3) +
+    prod0*(inv(eq0) eq3), eliminating the p0 chain.  With alg=True the
+    chain runs as two pallas dispatches (bit-identical)."""
+    from ..ops.pallas import sumcheck_kernels as sk
+
     n_o = fn.n_outs
-    # eq tables, built inside the single device program
-    if halves:
-        M0 = polys[0].shape[0]
-        U0 = (M0.bit_length() - 1) - tail_log
-        eq_big = _eq_bitrev_table_body(pt_enc)
-        tail_len = R - 1 - U0
-        small = mle._eq_table_seq(FR, pt_enc[:tail_len]) if U0 < R else ()
-        eq_tables = (eq_big,) * U0 + tuple(
-            small[R - 1 - r] for r in range(U0, R)
-        )
-    else:
-        eq_seq = mle._eq_table_seq(FR, pt_enc)
-        eq_tables = tuple(eq_seq[R - 1 - r] for r in range(R))
-    polys = list(polys)
-    state = state0
-    claim = claim0
-    multiplier = mult0
     inv2 = jnp.asarray(_enc([fh.inv(2, P)])[0])
     inv6 = jnp.asarray(_enc([fh.inv(6, P)])[0])
     r2 = jnp.asarray(np.asarray(FR.r2_limbs, dtype=np.uint32))
 
     def round_algebra(sums, rcrow, state, claim, multiplier):
-        """gamma-fold + from12 + interpolation + sponge for one round.
-        Returns (msg_std (3,16), x_std (16,), x mont, state', claim',
-        multiplier') — everything except the bind.
-
-        The from12 algebra (host.py:132-146) is restructured so independent
-        scalar multiplies run as BATCHED fl.mul calls: serial tiny-op launch
-        latency is the dominant per-round cost (~6 ms/round as a plain
-        chain, scripts/tpu_tail_anatomy.py).  rcrow holds precomputed
-        per-round constants: [eq1, eq2, 3*eq3, inv(eq0)*eq3, c_a=(1-pt),
-        c_b=(2pt-1), eq-prefix rescale] — note e3 = p3*eq3 expands to
-        (t2-t1)*(3 eq3) + prod0*(inv(eq0) eq3), eliminating the p0 chain."""
         if alg:
             # two-dispatch pallas version of the chain below (bit-identical:
             # all intermediates are canonical field elements)
@@ -235,6 +199,62 @@ def _device_rounds(
         multiplier = l8[0]
         claim = _sadd(_smul(_sadd(l8[1], c1), x), c0)
         return msg_std, x_std, x, state, claim, multiplier
+
+    return round_algebra
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fn", "use_pallas", "tail_log", "halves", "alg")
+)
+def _device_rounds(
+    fn: AlgFn,
+    use_pallas: bool,
+    tail_log: int,
+    halves: bool,
+    alg: bool,  # run the per-round scalar algebra as pallas kernels
+    polys: Tuple[jnp.ndarray, ...],
+    pt_enc: jnp.ndarray,  # (R-1, 16) Montgomery point coords (eq tables are
+    # derived in-program: no per-table host dispatches over the tunnel)
+    state0: jnp.ndarray,  # (8,) sponge words
+    claim0: jnp.ndarray,  # (16,) mont
+    mult0: jnp.ndarray,  # (16,) mont initial eq multiplier
+    gamma_pows: jnp.ndarray,  # (n_outs, 16) mont
+    rc: jnp.ndarray,  # (R, 7, 16) mont per-round constants
+):
+    return _device_rounds_body(
+        fn, use_pallas, tail_log, halves, alg, polys, pt_enc, state0,
+        claim0, mult0, gamma_pows, rc,
+    )
+
+
+def _device_rounds_body(
+    fn, use_pallas, tail_log, halves, alg, polys, pt_enc, state0, claim0,
+    mult0, gamma_pows, rc,
+):
+    from ..models.sumcheck import _round_sums
+    from ..ops.pallas import sumcheck_kernels as sk
+    from ..ops.poly import mle
+
+    R = rc.shape[0]
+    n_o = fn.n_outs
+    # eq tables, built inside the single device program
+    if halves:
+        M0 = polys[0].shape[0]
+        U0 = (M0.bit_length() - 1) - tail_log
+        eq_big = _eq_bitrev_table_body(pt_enc)
+        tail_len = R - 1 - U0
+        small = mle._eq_table_seq(FR, pt_enc[:tail_len]) if U0 < R else ()
+        eq_tables = (eq_big,) * U0 + tuple(
+            small[R - 1 - r] for r in range(U0, R)
+        )
+    else:
+        eq_seq = mle._eq_table_seq(FR, pt_enc)
+        eq_tables = tuple(eq_seq[R - 1 - r] for r in range(R))
+    polys = list(polys)
+    state = state0
+    claim = claim0
+    multiplier = mult0
+    round_algebra = _make_round_algebra(fn, gamma_pows, alg)
 
     S = 1 << tail_log
     msgs = []
@@ -446,6 +466,198 @@ def prove_rounds_device(
     r_list.reverse()
     final_evals = fl.decode_ints(FR, fin)
     return (cur, r_list), final_evals
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fn", "use_pallas", "tail_log", "alg", "caps", "row_logsize",
+    ),
+)
+def _device_rect_rounds(
+    fn: AlgFn,
+    use_pallas: bool,
+    tail_log: int,
+    alg: bool,
+    caps: Tuple[int, ...],  # capacity at each sparse round
+    row_logsize: int,
+    datas: Tuple[jnp.ndarray, ...],  # (rows, cap0, L) per poly
+    repads: Tuple[jnp.ndarray, ...],  # (rows, 1, L) re-pad column per poly
+    pt_enc: jnp.ndarray,  # (R, 16) FULL point, Montgomery
+    pad_scales: jnp.ndarray,  # (R_s, 16) mont prod(1-pad_vars) per round
+    tails: jnp.ndarray,  # (R_s, n_outs, 16) mont logical-tail corrections
+    row_coefs: jnp.ndarray,  # (rows, 16) eq over the column point
+    state0, claim0, mult0, gamma_pows, rc,
+):
+    """Entire rect sumcheck (sparse rows + dense columns) in ONE device
+    program: the sparse phase mirrors RectSumcheckObject.unipoly/bind
+    (models/sumcheck.py) with all host scalars precomputed, then the dense
+    column phase inlines _device_rounds_body.  Mirrors vecvec_eq.rs's
+    Sparse->Dense stage switch as a single dispatch."""
+    from ..models.sumcheck import _round_sums
+    from ..ops.pallas import sumcheck_kernels as sk
+    from ..ops.poly import mle
+    from ..models.sumcheck import _rect_eq_flat
+
+    R = rc.shape[0]
+    cv = R - row_logsize
+    L = FR.n_limbs
+    n_rows = datas[0].shape[0]
+    state, claim, multiplier = state0, claim0, mult0
+    round_algebra = _make_round_algebra(fn, gamma_pows, alg)
+    datas = list(datas)
+    msgs, chals = [], []
+    for r in range(row_logsize):
+        cap = caps[r]
+        s = cap.bit_length() - 2  # log2(cap) - 1 segment vars
+        seg = pt_enc[R - 1 - r - s : R - 1 - r]
+        eq_seg = mle._eq_table(FR, seg, pad_scales[r])
+        eq_flat = _rect_eq_flat(FR, row_coefs, eq_seg)
+        flat = [d.reshape(n_rows * cap, L) for d in datas]
+        if use_pallas and sk.should_use(FR, fn, n_rows * cap):
+            sums = sk.fused_round(FR, flat, fn, eq_flat)
+        else:
+            sums = _round_sums(FR, flat, fn, eq_flat)
+        vals = fl.add(
+            FR, sums, jnp.broadcast_to(tails[r][None], sums.shape)
+        )
+        msg_std, x_std, x, state, claim, multiplier = round_algebra(
+            vals, rc[r], state, claim, multiplier
+        )
+        msgs.append(msg_std)
+        chals.append(x_std)
+        if use_pallas and sk.should_use_bind(n_rows * cap):
+            bound = sk.fused_bind(FR, flat, x)
+        else:
+            bound = [mle.bind_low(FR, f_, x) for f_ in flat]
+        datas = [b.reshape(n_rows, cap // 2, L) for b in bound]
+        if cap // 2 == 1 and r + 1 < row_logsize:
+            datas = [
+                jnp.concatenate([d, rp], axis=1)
+                for d, rp in zip(datas, repads)
+            ]
+    # dense column phase (vecvec_eq.rs:227-250 stage switch), inlined
+    cols = tuple(d[:, 0] for d in datas)
+    halves = False  # column tables are far below the halves threshold
+    flat_dense = _device_rounds_body(
+        fn, use_pallas, tail_log, halves, alg, cols,
+        pt_enc[: cv - 1] if cv > 1 else pt_enc[:0],
+        state, claim, multiplier, gamma_pows, rc[row_logsize:],
+    )
+    all_msgs = jnp.concatenate(
+        [jnp.stack(msgs).reshape(-1, L), flat_dense[: 3 * cv]]
+    )
+    all_chals = jnp.concatenate([jnp.stack(chals), flat_dense[3 * cv : 4 * cv]])
+    fin = flat_dense[4 * cv :]
+    return jnp.concatenate([all_msgs, all_chals, fin])
+
+
+def prove_rect_rounds_device(tr, fn: AlgFn, polys, point, gamma_pows, claim):
+    """Single-dispatch prover for a rect (jagged) deg-2 eq sumcheck.
+
+    polys: RectPoly list; mirrors RectSumcheckObject + prove_rounds outputs:
+    ((final_claim, reversed challenges), final_evals)."""
+    from ..models.sumcheck import _exec_on_scalars
+    from ..ops.pallas import field_kernels as fk
+    from ..ops.pallas import sumcheck_kernels as sk
+
+    R = len(point)
+    cv = polys[0].col_logsize
+    row_logsize = polys[0].row_logsize
+    assert R == row_logsize + cv and cv > 0 and row_logsize > 0
+    n_o = fn.n_outs
+    n_rows = 1 << cv
+    n_data = polys[0].n_data_rows
+    cap0 = polys[0].capacity
+    # capacity schedule (bind halves it; re-padded back to 2 below 2)
+    caps = []
+    c = cap0
+    for _ in range(row_logsize):
+        caps.append(c)
+        c = c // 2 if c // 2 >= 2 else 2
+    # per-round pad scales / logical-tail corrections (host ints)
+    row_pads = [p_.row_pad for p_ in polys]
+    col_pads = [p_.col_pad for p_ in polys]
+    pad_f = _exec_on_scalars(FR, fn, row_pads[: fn.n_ins])
+    col_f = _exec_on_scalars(FR, fn, col_pads[: fn.n_ins])
+    cols_point = point[:cv]
+    coef_data_sum = fh.eq_sum(cols_point, n_data, P)
+    coef_pad_sum = (1 - coef_data_sum) % P
+    pad_scales_i, tails_i = [], []
+    for r in range(row_logsize):
+        s = caps[r].bit_length() - 2
+        ps = 1
+        for v in point[cv : R - 1 - r - s]:
+            ps = ps * (1 - v) % P
+        pad_scales_i.append(ps)
+        trail = (1 - ps) % P
+        tails_i.extend(
+            trail * (pad_f[o] * coef_data_sum + col_f[o] * coef_pad_sum) % P
+            for o in range(n_o)
+        )
+    # per-round from12 constants over the full point, bind order = low-first
+    rows = []
+    for r in range(R):
+        pt = point[-1 - r] % P
+        eq0 = (1 - pt) % P
+        eq2 = (2 * pt - eq0) % P
+        eq3 = (2 * eq2 - pt) % P
+        rows.extend(
+            [pt, eq2, 3 * eq3 % P, fh.inv(eq0, P) * eq3 % P, eq0,
+             (2 * pt - 1) % P, 1]
+        )
+    rc = jnp.asarray(_enc(rows).reshape(R, 7, FR.n_limbs))
+    repads = tuple(
+        jnp.asarray(
+            _enc([rp] * n_data + [cp] * (n_rows - n_data)).reshape(
+                n_rows, 1, FR.n_limbs
+            )
+        )
+        for rp, cp in zip(row_pads, col_pads)
+    )
+    from ..ops.poly import mle
+
+    row_coefs = mle.eq_table(FR, cols_point)
+    pt_enc = jnp.asarray(_enc([c_ % P for c_ in point]))
+    state0 = jnp.asarray(shj.state_from_host(tr._state))
+    gp = jnp.asarray(_enc(gamma_pows[:n_o] + [0] * max(0, n_o - len(gamma_pows))))
+    cm = _enc([claim, 1])
+    flat = _device_rect_rounds(
+        fn,
+        fk._FORCE != "0",
+        TAIL_LOG,
+        sk.should_use_algebra(),
+        tuple(caps),
+        row_logsize,
+        tuple(p_.data for p_ in polys),
+        repads,
+        pt_enc,
+        jnp.asarray(_enc(pad_scales_i)),
+        jnp.asarray(_enc(tails_i).reshape(row_logsize, n_o, FR.n_limbs)),
+        row_coefs,
+        state0,
+        jnp.asarray(cm[0]),
+        jnp.asarray(cm[1]),
+        gp,
+        rc,
+    )
+    flat = np.asarray(flat)
+    msgs = flat[: 3 * R].reshape(R, 3, FR.n_limbs)
+    xs_host = flat[3 * R : 4 * R]
+    fin = flat[4 * R :]
+    cur = claim
+    r_list = []
+    for r in range(R):
+        msg_ints = fl.decode_ints(FR, msgs[r], mont=False)
+        tr.write_scalars(msg_ints)
+        x = tr.challenge(128)
+        dev_x = fl.decode_ints(FR, xs_host[r], mont=False)[0]
+        assert x == dev_x, "device/host sponge mismatch (rect)"
+        coeffs = fh.decompress_coefficients(msg_ints, cur, P)
+        cur = fh.evaluate_univar(coeffs, x, P)
+        r_list.append(x)
+    r_list.reverse()
+    return (cur, r_list), fl.decode_ints(FR, fin)
 
 
 def should_use(fn: AlgFn, num_vars: int) -> bool:

@@ -733,35 +733,24 @@ class RectDeg2Sumcheck:
         from . import fused_prover as fp
 
         row_rounds = self.num_vars - self.col_logsize
+        same_shape = all(
+            p.capacity == polys[0].capacity
+            and p.n_data_rows == polys[0].n_data_rows
+            for p in polys
+        )
         if (
             self.spec is FR
             and self.col_logsize > 0
+            and row_rounds > 0
+            and same_shape
             and fp.should_use_small(self.fn)
         ):
-            # sparse (row) rounds host-driven; the dense column phase runs
-            # as ONE device dispatch continuing the same claim/multiplier
-            # (byte-identical transcript, tested in test_pallas_sumcheck)
-            chals = []
-            d = self.fn.deg + 1
-            for _ in range(row_rounds):
-                coeffs = obj.unipoly()
-                msg = fh.compress_coefficients(coeffs)
-                assert len(msg) == d
-                tr.write_scalars(msg)
-                x = tr.challenge(SUMCHECK_CHALLENGE_BITS)
-                chals.append(x)
-                obj.bind(x)
-            dobj = obj.dense_obj
-            (final_claim, pt_dense), poly_evs = fp.prove_rounds_device(
-                tr,
-                self.fn,
-                dobj.polys,
-                dobj.point,
-                dobj.gamma_pows,
-                dobj.claim,
-                multiplier0=dobj.multiplier,
+            # the ENTIRE rect sumcheck (sparse rows + dense columns) runs as
+            # one device dispatch (byte-identical transcript, tested in
+            # test_pallas_sumcheck)
+            (final_claim, point), poly_evs = fp.prove_rect_rounds_device(
+                tr, self.fn, polys, list(claims.point), gamma_pows, folded
             )
-            point = pt_dense + list(reversed(chals))
         else:
             (final_claim, point), poly_evs = prove_rounds(
                 tr, obj, self.degrees(), folded

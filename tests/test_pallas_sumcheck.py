@@ -214,8 +214,9 @@ def test_lane_sum_exact():
 
 
 def test_rect_dense_phase_device_handoff(monkeypatch):
-    """RectDeg2Sumcheck with the dense column phase handed to the single-
-    dispatch device prover must produce a byte-identical transcript."""
+    """RectDeg2Sumcheck through the single-dispatch rect device prover
+    (sparse rows + dense columns in one program, fused_prover.
+    prove_rect_rounds_device) must produce a byte-identical transcript."""
     import random
 
     from gkr_msm_tpu.models import fused_prover as fp
