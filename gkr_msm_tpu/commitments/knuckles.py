@@ -14,12 +14,22 @@ factors (knuckles.rs:65-81).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field import limbs as fl
 from ..ops.field.spec import FR
 from .kzg import KzgProvingKey, KzgVerifyingKey
 
 P = FR.modulus
+
+# compute_t switches to the device path above this table size; below it the
+# host-int loop is faster than a dispatch (and is the bit-exactness model)
+_DEVICE_T_MIN = 1 << 10
 
 
 def batch_inverse_host(vals: Sequence[int], p: int = P) -> List[int]:
@@ -49,6 +59,7 @@ class KnucklesProvingKey:
     num_vars: int
     k: int
     inverses: List[int]
+    _inv_dev: object = None  # cached device Montgomery table of `inverses`
 
     @classmethod
     def new(cls, kzg_pk: KzgProvingKey, num_vars: int, k: int = 2) -> "KnucklesProvingKey":
@@ -77,7 +88,21 @@ class KnucklesProvingKey:
 
     def compute_t(self, poly: Sequence[int], point: Sequence[int]) -> Tuple[List[int], int]:
         """T and opening c with T(kx) - k^(N-1)T(x) + c x^(N-1) = P(x)E_r(x)
-        (knuckles.rs:111-154: log-staged shifted accumulation)."""
+        (knuckles.rs:111-154: log-staged shifted accumulation).
+
+        Large instances run the staged accumulation on device (num_vars
+        batched field ops on the (2n-1)-wide table, bit-equal to the host
+        loop — asserted in tests/test_commitments.py); tiny ones stay on
+        host ints, which doubles as the reference model."""
+        assert len(point) == self.num_vars
+        n = 1 << self.num_vars
+        assert len(poly) <= n
+        if n >= _DEVICE_T_MIN:
+            return self._compute_t_device(poly, point)
+        return self.compute_t_host(poly, point)
+
+    def compute_t_host(self, poly: Sequence[int], point: Sequence[int]) -> Tuple[List[int], int]:
+        """Host-int reference model of compute_t (knuckles.rs:111-154)."""
         assert len(point) == self.num_vars
         pt = list(reversed(point))  # parity with liblasso ordering
         n = 1 << self.num_vars
@@ -100,3 +125,40 @@ class KnucklesProvingKey:
         t[n - 1] = 0
         t = [x * inv % P for x, inv in zip(t, self.inverses)]
         return t, opening
+
+    def _compute_t_device(self, poly: Sequence[int], point: Sequence[int]) -> Tuple[List[int], int]:
+        n = 1 << self.num_vars
+        t0 = np.zeros((2 * n - 1, FR.n_limbs), dtype=np.uint32)
+        t0[: len(poly)] = fl.encode_ints(FR, [c % P for c in poly])
+        pt = list(reversed(point))
+        one_ms = fl.encode_ints(FR, [(1 - v) % P for v in pt])
+        if self._inv_dev is None:
+            self._inv_dev = jnp.asarray(fl.encode_ints(FR, self.inverses))
+        t_dev, opening_dev = _compute_t_stages(
+            self.num_vars, jnp.asarray(t0), jnp.asarray(one_ms), self._inv_dev
+        )
+        opening = fl.decode_ints(FR, np.asarray(opening_dev))[0]
+        t = fl.decode_ints_fast(FR, np.asarray(t_dev))
+        return t, opening
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _compute_t_stages(
+    num_vars: int, t: jnp.ndarray, one_ms: jnp.ndarray, inv_dev: jnp.ndarray
+):
+    """Device staged shifted accumulation (knuckles.rs:129-145): stage i does
+    t <- t - (1-pt_i)*t + shift_{2^i}((1-pt_i)*t) over the whole (2n-1)-wide
+    Montgomery table.  Entries beyond the host loop's live window are zero
+    and stay zero, so no masking is needed (0 -> 0 through mul/add/sub)."""
+    for i in range(num_vars):
+        offset = 1 << i
+        scaled = fl.mul(FR, t, jnp.broadcast_to(one_ms[i][None], t.shape))
+        shifted = jnp.concatenate(
+            [jnp.zeros((offset, t.shape[1]), t.dtype), scaled[:-offset]], axis=0
+        )
+        t = fl.add(FR, fl.sub(FR, t, scaled), shifted)
+    n = 1 << num_vars
+    opening = t[n - 1]
+    t = t.at[n - 1].set(0)
+    t = fl.mul(FR, t, inv_dev)
+    return t, opening

@@ -82,38 +82,51 @@ def encode_uint_to_mont(spec: FieldSpec, vals: np.ndarray) -> jnp.ndarray:
 
 def decompose_digits(coefs: Sequence[int], y_size: int, d_logsize: int) -> np.ndarray:
     """Scalars -> base-2^d digit matrix (y_size, x_size) uint32
-    (pushforward.rs:351-361)."""
+    (pushforward.rs:351-361).  Fully vectorized: one unpackbits + one
+    (x, y, d) x (d,) weighted sum — no Python loop over rows/bits."""
     x_size = len(coefs)
     n_bits = y_size * d_logsize
     n_bytes = (n_bits + 7) // 8 + 1
     raw = np.frombuffer(
         b"".join(int(c).to_bytes(n_bytes, "little") for c in coefs), dtype=np.uint8
     ).reshape(x_size, n_bytes)
-    bits = np.unpackbits(raw, axis=1, bitorder="little")  # (x, 8*n_bytes)
-    digits = np.zeros((y_size, x_size), dtype=np.uint32)
-    for y in range(y_size):
-        for i in range(d_logsize):
-            digits[y] |= bits[:, y * d_logsize + i].astype(np.uint32) << i
-    return digits
+    bits = np.unpackbits(raw, axis=1, bitorder="little")[:, :n_bits]
+    weights = (np.uint32(1) << np.arange(d_logsize, dtype=np.uint32))
+    digits = bits.reshape(x_size, y_size, d_logsize).astype(np.uint32) @ weights
+    return np.ascontiguousarray(digits.T.astype(np.uint32))
+
+
+def _sorted_bucket_ranks(digits: np.ndarray):
+    """Row-wise stable sort by digit + rank within each digit run.
+
+    Returns (orders, sorted_d, rank_sorted), all (y, x): orders is the
+    stable argsort of each row, sorted_d the sorted digits, rank_sorted the
+    0-based landing slot of each sorted entry inside its digit bucket."""
+    y_size, x_size = digits.shape
+    orders = np.argsort(digits, axis=1, kind="stable")
+    sorted_d = np.take_along_axis(digits, orders, axis=1)
+    idx = np.arange(x_size, dtype=np.int64)
+    change = np.empty((y_size, x_size), dtype=bool)
+    change[:, 0] = True
+    if x_size > 1:
+        change[:, 1:] = sorted_d[:, 1:] != sorted_d[:, :-1]
+    starts = np.maximum.accumulate(np.where(change, idx[None, :], 0), axis=1)
+    rank_sorted = idx[None, :] - starts
+    return orders, sorted_d, rank_sorted
 
 
 def scatter_counters(digits: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-row landing slots.  Returns (counter (y,x), order (y,x), rank (y,x))
-    where order is the stable sort of x by digit (pushforward.rs:390-429)."""
-    y_size, x_size = digits.shape
+    where order is the stable sort of x by digit (pushforward.rs:390-429).
+    The reference parallelizes this per bucket row with rayon
+    (pushforward.rs:401-429); here it is one whole-matrix vectorized
+    argsort + run-rank pass (no per-row Python loop)."""
+    orders, _sorted_d, rank_sorted = _sorted_bucket_ranks(digits)
     counter = np.zeros_like(digits)
-    orders = np.zeros_like(digits, dtype=np.int64)
-    ranks = np.zeros_like(digits, dtype=np.int64)
-    for y in range(y_size):
-        order = np.argsort(digits[y], kind="stable")
-        sorted_d = digits[y][order]
-        # rank within each digit bucket
-        starts = np.searchsorted(sorted_d, sorted_d, side="left")
-        rank = np.arange(x_size) - starts
-        counter[y][order] = rank
-        orders[y] = order
-        ranks[y][order] = rank
-    return counter, orders, ranks
+    np.put_along_axis(counter, orders, rank_sorted.astype(digits.dtype), axis=1)
+    ranks = np.zeros(digits.shape, dtype=np.int64)
+    np.put_along_axis(ranks, orders, rank_sorted, axis=1)
+    return counter, orders.astype(np.int64), ranks
 
 
 @dataclasses.dataclass
@@ -171,28 +184,25 @@ class PushForwardState:
         comm_mul = 1 << self.clm
 
         digits = decompose_digits(coefs, y_size, d_logsize)
-        counter, orders, _ = scatter_counters(digits)
+        orders, sorted_d, rank_sorted = _sorted_bucket_ranks(digits)
+        counter = np.zeros_like(digits)
+        np.put_along_axis(counter, orders, rank_sorted.astype(digits.dtype), axis=1)
         self.digits = digits
         self.counter = counter
 
         # ---- image RectPolys: bucket row (y, digit) -> point coords --------
         # global grid over y_size << d rows; capacity = max occupancy
+        # (vectorized: one flat bincount + one fancy scatter, no y loop)
         n_rows_data = y_size << d_logsize
-        counts = np.zeros(n_rows_data, dtype=np.int64)
-        for y in range(y_size):
-            bc = np.bincount(digits[y], minlength=1 << d_logsize)
-            counts[y << d_logsize : (y << d_logsize) + (1 << d_logsize)] = bc
+        row_of = (np.arange(y_size, dtype=np.int64)[:, None] << d_logsize) + digits
+        counts = np.bincount(row_of.reshape(-1), minlength=n_rows_data)
         capacity = 2
         while capacity < counts.max():
             capacity *= 2
         sentinel = x_size  # pad index
         grid = np.full((n_rows_data, capacity), sentinel, dtype=np.int64)
-        for y in range(y_size):
-            order = orders[y]
-            sorted_d = digits[y][order]
-            starts = np.searchsorted(sorted_d, sorted_d, side="left")
-            rank = np.arange(x_size) - starts
-            grid[(y << d_logsize) + sorted_d, rank] = order
+        rows_sorted = (np.arange(y_size, dtype=np.int64)[:, None] << d_logsize) + sorted_d
+        grid[rows_sorted.reshape(-1), rank_sorted.reshape(-1)] = orders.reshape(-1)
         # device point tables with the pad appended (pad = (0, 1), dom 0)
         px = jnp.asarray(
             np.concatenate([fl.encode_ints(FR, [pt[0] for pt in points]),

@@ -318,9 +318,25 @@ class DenseDeg2Sumcheck:
         gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
         gamma_pows = fh.make_gamma_pows(gamma, max(self.fn.n_outs, 2), p)
         folded = fh.fold_with_gamma(gamma, claims.evs, p)
+        from ..parallel import context as _pctx
         from . import fused_prover as fp
 
-        if self.spec is FR and fp.should_use(self.fn, self.num_vars):
+        mesh = _pctx.get_mesh()
+        if mesh is not None and _pctx.shardable(
+            int(polys[0].shape[0]), mesh, min_per_device=4
+        ):
+            # multi-chip: table plane sharded over the ambient mesh, one psum
+            # of O(deg) scalars per round (transcript-identical)
+            from ..parallel.sharded import ShardedSumcheckObject
+
+            obj = ShardedSumcheckObject(
+                mesh, self.spec, polys, self.fn, gamma_pows, folded,
+                list(claims.point),
+            )
+            (final_claim, point), poly_evs = prove_rounds(
+                tr, obj, self.degrees(), folded
+            )
+        elif self.spec is FR and fp.should_use(self.fn, self.num_vars):
             # single-dispatch device prover: all rounds + sponge on device,
             # byte-identical transcript (models/fused_prover.py)
             (final_claim, point), poly_evs = fp.prove_rounds_device(
@@ -592,39 +608,7 @@ class RectSumcheckObject:
             if self.row_coefs is not None
             else mle.eq_table(self.spec, [])
         )
-        # fixed-shape round kernel: zero-pad the capacity axis back to cap0
-        # (extra lanes carry eq_seg = 0, so sums are exact)
-        datas = self.datas
-        if cap < self.cap0:
-            datas = tuple(
-                jnp.concatenate(
-                    [
-                        d,
-                        jnp.zeros(
-                            (d.shape[0], self.cap0 - cap, d.shape[2]),
-                            dtype=d.dtype,
-                        ),
-                    ],
-                    axis=1,
-                )
-                for d in datas
-            )
-            eq_seg = _zpad_axis0(eq_seg, self.cap0 // 2)
-        from ..ops.pallas import sumcheck_kernels as sk
-
-        n_rows = int(datas[0].shape[0])
-        m_flat = n_rows * self.cap0
-        if sk.should_use(self.spec, self.fn, m_flat):
-            # reuse the dense fused kernel on the flattened (rows*cap) grid:
-            # pairs stay adjacent (cap is even), and the pair weight is the
-            # outer product row_coefs[r] * eq_seg[c]
-            eq_flat = _rect_eq_flat(self.spec, row_coefs, eq_seg)
-            flat = [d.reshape(m_flat, self.spec.n_limbs) for d in datas]
-            sums = sk.fused_round(self.spec, flat, self.fn, eq_flat)
-        else:
-            sums = _round_sums_rect(
-                self.spec, datas, self.fn, eq_seg, row_coefs
-            )
+        sums = self._round_sums_dev(self.datas, eq_seg, row_coefs)
         sums_host = fl.decode_ints(self.spec, sums)
         n_o = self.fn.n_outs
         trail = (1 - pad_scale) % p
@@ -650,6 +634,76 @@ class RectSumcheckObject:
         self._cached_coeffs = coeffs
         return coeffs
 
+    # -- device hooks (overridden by parallel.sharded for multi-chip) ---------
+    def _round_sums_dev(self, datas, eq_seg, row_coefs) -> jnp.ndarray:
+        """Round sums over the (rows x cap/2) grid -> (2, n_outs, L)."""
+        from ..ops.pallas import sumcheck_kernels as sk
+
+        cap = int(datas[0].shape[1])
+        # fixed-shape round kernel: zero-pad the capacity axis back to cap0
+        # (extra lanes carry eq_seg = 0, so sums are exact)
+        if cap < self.cap0:
+            datas = tuple(
+                jnp.concatenate(
+                    [
+                        d,
+                        jnp.zeros(
+                            (d.shape[0], self.cap0 - cap, d.shape[2]),
+                            dtype=d.dtype,
+                        ),
+                    ],
+                    axis=1,
+                )
+                for d in datas
+            )
+            eq_seg = _zpad_axis0(eq_seg, self.cap0 // 2)
+        n_rows = int(datas[0].shape[0])
+        m_flat = n_rows * self.cap0
+        if sk.should_use(self.spec, self.fn, m_flat):
+            # reuse the dense fused kernel on the flattened (rows*cap) grid:
+            # pairs stay adjacent (cap is even), and the pair weight is the
+            # outer product row_coefs[r] * eq_seg[c]
+            eq_flat = _rect_eq_flat(self.spec, row_coefs, eq_seg)
+            flat = [d.reshape(m_flat, self.spec.n_limbs) for d in datas]
+            return sk.fused_round(self.spec, flat, self.fn, eq_flat)
+        return _round_sums_rect(self.spec, datas, self.fn, eq_seg, row_coefs)
+
+    def _bind_dev(self, tl: jnp.ndarray) -> tuple:
+        """Bind the lowest row variable (capacity halves) on device."""
+        from ..ops.pallas import sumcheck_kernels as sk
+
+        n_rows = int(self.datas[0].shape[0])
+        cap = int(self.datas[0].shape[1])
+        if sk.should_use_bind(n_rows * cap):
+            flat = [
+                d.reshape(n_rows * cap, self.spec.n_limbs) for d in self.datas
+            ]
+            outs = sk.fused_bind(self.spec, flat, tl)
+            return tuple(
+                o.reshape(n_rows, cap // 2, self.spec.n_limbs) for o in outs
+            )
+        return _bind_rect(self.spec, self.datas, tl)
+
+    def _make_dense_obj(self, cols) -> "DenseSumcheckObject":
+        """Stage switch: the column vectors become a dense sumcheck."""
+        obj = DenseSumcheckObject.new(
+            self.spec,
+            cols,
+            self.fn,
+            self.gamma_pows,
+            self.claim,
+            self.point[: self.col_logsize],
+        )
+        obj.multiplier = self.multiplier
+        return obj
+
+    def _repad_column(self, vals) -> jnp.ndarray:
+        """(n_rows, 1, L) re-pad column (host ints -> device)."""
+        n_rows = int(self.datas[0].shape[0])
+        return jnp.asarray(fl.encode_ints(self.spec, vals)).reshape(
+            n_rows, 1, self.spec.n_limbs
+        )
+
     def bind(self, t: int) -> None:
         if self.dense_obj is not None:
             self.dense_obj.bind(t)
@@ -661,45 +715,21 @@ class RectSumcheckObject:
         qb = self.point[n - 1 - self.k]
         self.multiplier = self.multiplier * ((1 - qb - t + 2 * qb * t) % p) % p
         tl = mle.scalar(self.spec, t)
-        from ..ops.pallas import sumcheck_kernels as sk
-
-        n_rows = int(self.datas[0].shape[0])
-        cap = int(self.datas[0].shape[1])
-        if sk.should_use_bind(n_rows * cap):
-            flat = [
-                d.reshape(n_rows * cap, self.spec.n_limbs) for d in self.datas
-            ]
-            outs = sk.fused_bind(self.spec, flat, tl)
-            self.datas = tuple(
-                o.reshape(n_rows, cap // 2, self.spec.n_limbs) for o in outs
-            )
-        else:
-            self.datas = _bind_rect(self.spec, self.datas, tl)
+        self.datas = self._bind_dev(tl)
         self.claim = fh.evaluate_univar(self._cached_coeffs, t, p)
         self._cached_coeffs = None
         self.challenges.append(t)
         self.k += 1
         if self.k == self.row_logsize:
             cols = [d[:, 0] for d in self.datas]
-            obj = DenseSumcheckObject.new(
-                self.spec,
-                cols,
-                self.fn,
-                self.gamma_pows,
-                self.claim,
-                self.point[: self.col_logsize],
-            )
-            obj.multiplier = self.multiplier
-            self.dense_obj = obj
+            self.dense_obj = self._make_dense_obj(cols)
         elif int(self.datas[0].shape[1]) == 1:
             # re-pad rows to capacity 2 (value, pad) for further row binds
             n_rows = int(self.datas[0].shape[0])
             new = []
             for d, rp, cp in zip(self.datas, self.row_pads, self.col_pads):
                 vals = [rp] * self.n_data_rows + [cp] * (n_rows - self.n_data_rows)
-                col = jnp.asarray(fl.encode_ints(self.spec, vals)).reshape(
-                    n_rows, 1, self.spec.n_limbs
-                )
+                col = self._repad_column(vals)
                 new.append(jnp.concatenate([d, col], axis=1))
             self.datas = tuple(new)
 
@@ -727,9 +757,7 @@ class RectDeg2Sumcheck:
         gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
         gamma_pows = fh.make_gamma_pows(gamma, max(self.fn.n_outs, 2), p)
         folded = fh.fold_with_gamma(gamma, claims.evs, p)
-        obj = RectSumcheckObject(
-            self.spec, polys, self.fn, gamma_pows, folded, claims.point
-        )
+        from ..parallel import context as _pctx
         from . import fused_prover as fp
 
         row_rounds = self.num_vars - self.col_logsize
@@ -738,7 +766,25 @@ class RectDeg2Sumcheck:
             and p.n_data_rows == polys[0].n_data_rows
             for p in polys
         )
+        mesh = _pctx.get_mesh()
         if (
+            mesh is not None
+            and self.col_logsize > 0
+            and row_rounds > 0
+            and _pctx.shardable(1 << self.col_logsize, mesh)
+        ):
+            # multi-chip: bucket rows sharded over the mesh (the rayon
+            # per-row parallelism at vecvec_eq.rs:302-388 on the mesh axis)
+            from ..parallel.sharded import ShardedRectSumcheckObject
+
+            obj = ShardedRectSumcheckObject(
+                mesh, self.spec, polys, self.fn, gamma_pows, folded,
+                list(claims.point),
+            )
+            (final_claim, point), poly_evs = prove_rounds(
+                tr, obj, self.degrees(), folded
+            )
+        elif (
             self.spec is FR
             and self.col_logsize > 0
             and row_rounds > 0
@@ -752,6 +798,9 @@ class RectDeg2Sumcheck:
                 tr, self.fn, polys, list(claims.point), gamma_pows, folded
             )
         else:
+            obj = RectSumcheckObject(
+                self.spec, polys, self.fn, gamma_pows, folded, claims.point
+            )
             (final_claim, point), poly_evs = prove_rounds(
                 tr, obj, self.degrees(), folded
             )

@@ -69,16 +69,10 @@ def bucket_index_grid(
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(n_buckets, capacity, 3, L) points -> window sum  sum_j j * B_j.
-
-    Capacity tree-reduction is log2(capacity) batched adds; the weighted
-    combination uses the running-sum identity sum_j j*B_j =
-    sum_k sum_{j>=k} B_j as a lax.scan (graph stays O(1) adds)."""
-    pts = grid_points
-    while pts.shape[1] > 1:
-        pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
-    buckets = pts[:, 0]  # (n_buckets, 3, L)
+def _bucket_combine_weighted(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(n_buckets, 3, L) bucket sums -> sum_j j * B_j via the running-sum
+    identity sum_j j*B_j = sum_k sum_{j>=k} B_j as a lax.scan (graph stays
+    O(1) adds; msm_nonaffine.rs:137-144)."""
 
     def step(carry, bj):
         running, total = carry
@@ -91,6 +85,18 @@ def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int) -> jnp.ndarray:
         step, (g1.g1_neutral(), g1.g1_neutral()), xs
     )
     return total
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(n_buckets, capacity, 3, L) points -> window sum  sum_j j * B_j.
+
+    Capacity tree-reduction is log2(capacity) batched adds, then the
+    weighted running-sum combination."""
+    pts = grid_points
+    while pts.shape[1] > 1:
+        pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
+    return _bucket_combine_weighted(pts[:, 0], c)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -123,6 +129,13 @@ def msm_device(
     assert scalars_std_limbs.shape[0] == n
     if n_bits is None:
         n_bits = FR.bits
+    from ...parallel import context as _ctx
+
+    mesh = _ctx.get_mesh()
+    if mesh is not None and _ctx.shardable(n, mesh):
+        from ...parallel.sharded import sharded_msm_device
+
+        return sharded_msm_device(mesh, points_proj, scalars_std_limbs, c, n_bits)
     digits = scalars_to_digit_matrix(scalars_std_limbs, c, n_bits)
     n_windows = digits.shape[0]
     pts_ext = jnp.concatenate([points_proj, g1.g1_neutral((1,))], axis=0)

@@ -200,6 +200,7 @@ class ShardedSumcheckObject:
         claim: int,
         point: List[int],
         local_threshold: int | None = None,
+        multiplier: int = 1,
     ):
         from ..ops.poly import mle
 
@@ -209,7 +210,7 @@ class ShardedSumcheckObject:
         self.gamma_pows = list(gamma_pows)
         self.claim = claim
         self.point = list(point)
-        self.multiplier = 1
+        self.multiplier = multiplier
         self.challenges: List[int] = []
         self._cached: List[int] | None = None
         n_dev = mesh.devices.size
@@ -317,6 +318,237 @@ def sharded_prove(
     )
     tr.write_scalars(poly_evs)
     return SinglePointClaims(point=point, evs=poly_evs), None
+
+
+# -----------------------------------------------------------------------------
+# sharded rect (jagged) deg-2 sumcheck — the bucket-GKR hot path, row-sharded
+# (the rayon per-row parallelism at vecvec_eq.rs:302-388 mapped to the mesh)
+# -----------------------------------------------------------------------------
+
+def shard_rect(mesh: Mesh, data: jnp.ndarray) -> jnp.ndarray:
+    """Place (n_rows, cap, L) with the ROW axis sharded over the mesh."""
+    return jax.device_put(data, NamedSharding(mesh, PSpec(AXIS, None, None)))
+
+
+def sharded_rect_round_sums(
+    mesh: Mesh, spec: FieldSpec, fn: AlgFn, datas, eq_seg, row_coefs
+):
+    """Rect round sums with rows sharded: local eq-weighted grid sums per
+    shard + one psum of the (2, n_outs) field scalars."""
+    from ..models.sumcheck import _round_sums_rect
+
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(PSpec(AXIS, None, None) for _ in datas),
+            PSpec(),
+            PSpec(AXIS, None),
+        ),
+        out_specs=PSpec(),
+    )
+    def step(datas_l, eq_l, rc_l):
+        sums_local = _round_sums_rect(spec, tuple(datas_l), fn, eq_l, rc_l)
+        return _psum_field(spec, sums_local, AXIS, n_dev)
+
+    return jax.jit(step)(tuple(datas), eq_seg, row_coefs)
+
+
+def sharded_rect_bind(mesh: Mesh, spec: FieldSpec, datas, t: jnp.ndarray):
+    """Bind the lowest row variable: capacity pairs are shard-local."""
+    from ..models.sumcheck import _bind_rect
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple(PSpec(AXIS, None, None) for _ in datas), PSpec()),
+        out_specs=tuple(PSpec(AXIS, None, None) for _ in datas),
+    )
+    def step(datas_l, t_l):
+        return _bind_rect(spec, tuple(datas_l), t_l)
+
+    return jax.jit(step)(tuple(datas), t)
+
+
+class ShardedRectSumcheckObject:
+    """Row-sharded RectSumcheckObject: identical round messages/claims, the
+    (rows x cap) grid sharded over the mesh, one psum per round.  The dense
+    column phase switches to ShardedSumcheckObject (shard->replicated
+    switchover once small, vecvec_eq.rs:227-250 reinterpreted)."""
+
+    def __new__(cls, mesh, spec, polys, fn, gamma_pows, claim, point):
+        from ..models.sumcheck import RectSumcheckObject
+
+        # compose by subclassing at runtime (RectSumcheckObject's device
+        # hooks are the override surface; avoids a circular import)
+        class _Impl(RectSumcheckObject):
+            def __init__(self, mesh_, *args):
+                super().__init__(*args)
+                self.mesh = mesh_
+                self.datas = tuple(shard_rect(mesh_, d) for d in self.datas)
+                if self.row_coefs is not None:
+                    self.row_coefs = shard_table(mesh_, self.row_coefs)
+
+            def _round_sums_dev(self, datas, eq_seg, row_coefs):
+                return sharded_rect_round_sums(
+                    self.mesh, self.spec, self.fn, datas, eq_seg, row_coefs
+                )
+
+            def _bind_dev(self, tl):
+                return sharded_rect_bind(self.mesh, self.spec, self.datas, tl)
+
+            def _make_dense_obj(self, cols):
+                return ShardedSumcheckObject(
+                    self.mesh,
+                    self.spec,
+                    [replicate(self.mesh, c) for c in cols],
+                    self.fn,
+                    self.gamma_pows,
+                    self.claim,
+                    self.point[: self.col_logsize],
+                    multiplier=self.multiplier,
+                )
+
+            def _repad_column(self, vals):
+                col = super()._repad_column(vals)
+                return shard_rect(self.mesh, col)
+
+        return _Impl(mesh, spec, polys, fn, gamma_pows, claim, point)
+
+
+# -----------------------------------------------------------------------------
+# sharded Pippenger MSM: points sharded, per-shard bucket grids, cross-shard
+# bucket reduction via one all_gather + log-tree add (SURVEY.md §2.12 psum
+# bucket partial sums; group elements aren't integer-psum-able, so the
+# collective is an all_gather of (2^c, 3, L) partials + batched adds)
+# -----------------------------------------------------------------------------
+
+def sharded_bucket_partials(
+    mesh: Mesh, grid_points: jnp.ndarray, n_buckets: int
+) -> jnp.ndarray:
+    """(D*n_buckets, cap, 3, L) per-shard grids -> (n_buckets, 3, L) bucket
+    sums, reduced across shards inside the program."""
+    from ..ops.curve import bls12381 as g1
+
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(PSpec(AXIS, None, None, None),),
+        out_specs=PSpec(),
+        # the all_gather + local tree-add leaves every shard with the same
+        # bucket sums; the static varying-axes checker can't see that
+        check_vma=False,
+    )
+    def step(grid_l):
+        pts = grid_l
+        while pts.shape[1] > 1:
+            pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
+        partial = pts[:, 0]  # (n_buckets, 3, L) this shard's partial sums
+        allp = jax.lax.all_gather(partial, AXIS)  # (D, n_buckets, 3, L)
+        m = allp.shape[0]
+        while m > 1:
+            if m % 2 == 1:
+                allp = jnp.concatenate(
+                    [allp, g1.g1_neutral((1, allp.shape[1]))], axis=0
+                )
+                m += 1
+            allp = g1.g1_add(allp[0::2], allp[1::2])
+            m //= 2
+        return allp[0]
+
+    return jax.jit(step)(grid_points)
+
+
+def sharded_msm_device(
+    mesh: Mesh,
+    points_proj: jnp.ndarray,
+    scalars_std_limbs: np.ndarray,
+    c: int = 8,
+    n_bits: int | None = None,
+) -> jnp.ndarray:
+    """Multi-chip MSM: the point axis is sharded; each shard bucket-sorts its
+    slice on host, reduces its grid locally, and bucket partials reduce
+    across the mesh (replacing msm_nonaffine.rs:123's per-window rayon).
+    The result decodes to the same affine point as the single-device MSM."""
+    from ..ops.curve import bls12381 as g1
+    from ..ops.field.spec import FR
+    from ..ops.msm import pippenger as msm
+    from ..ops.msm.pippenger import (
+        _bucket_combine_weighted,
+        _window_ladder,
+        bucket_index_grid,
+    )
+
+    n = points_proj.shape[0]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0 and n >= n_dev
+    per = n // n_dev
+    if n_bits is None:
+        n_bits = FR.bits
+    digits = msm.scalars_to_digit_matrix(scalars_std_limbs, c, n_bits)
+    n_windows = digits.shape[0]
+    n_buckets = 1 << c
+
+    # shared capacity across (window, shard) => one compiled program
+    max_c = 1
+    local_digits = digits.reshape(n_windows, n_dev, per)
+    for w in range(n_windows):
+        for d in range(n_dev):
+            max_c = max(
+                max_c,
+                int(np.bincount(local_digits[w, d], minlength=n_buckets).max()),
+            )
+    capacity = 1
+    while capacity < max_c:
+        capacity *= 2
+
+    # per-shard extended points: [shard points | one neutral pad] per shard
+    pts_ext = jnp.concatenate(
+        [
+            points_proj.reshape(n_dev, per, 3, points_proj.shape[-1]),
+            g1.g1_neutral((n_dev, 1)),
+        ],
+        axis=1,
+    ).reshape(n_dev * (per + 1), 3, points_proj.shape[-1])
+    pts_ext = jax.device_put(
+        pts_ext, NamedSharding(mesh, PSpec(AXIS, None, None))
+    )
+
+    window_sums = []
+    for w in range(n_windows):
+        grids = []
+        for d in range(n_dev):
+            g, _cap = bucket_index_grid(
+                local_digits[w, d], n_buckets, per, capacity
+            )
+            # global index into pts_ext: shard d's slots start at d*(per+1)
+            grids.append(g + d * (per + 1))
+        grid = jnp.asarray(np.concatenate(grids, axis=0))
+        grid = jax.device_put(grid, NamedSharding(mesh, PSpec(AXIS, None)))
+        grid_points = _sharded_gather(mesh, pts_ext, grid, per + 1)
+        buckets = sharded_bucket_partials(mesh, grid_points, n_buckets)
+        window_sums.append(_bucket_combine_weighted(buckets, c))
+    return _window_ladder(jnp.stack(window_sums), c)
+
+
+def _sharded_gather(mesh: Mesh, pts_ext: jnp.ndarray, grid: jnp.ndarray, per_ext: int):
+    """Local gather: each shard indexes only its own point slice."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(PSpec(AXIS, None, None), PSpec(AXIS, None)),
+        out_specs=PSpec(AXIS, None, None, None),
+    )
+    def step(pts_l, grid_l):
+        base = jax.lax.axis_index(AXIS) * per_ext
+        return jnp.take(pts_l, grid_l - base, axis=0)
+
+    return jax.jit(step)(pts_ext, grid)
 
 
 def sharded_msm_window(

@@ -24,6 +24,56 @@ import random
 import numpy as np
 import pytest
 
+# -----------------------------------------------------------------------------
+# test tiers: the full suite takes ~40 min on the 4-core CPU (98 tests,
+# measured round 2); the heavy tail below is skipped by default so the smoke
+# tier stays under ~5 min.  Run everything with GKR_MSM_RUN_SLOW=1.
+# Matching is by nodeid substring, so parametrized cases can be pinned.
+# -----------------------------------------------------------------------------
+
+SLOW_NODEID_PATTERNS = [
+    "test_field.py::test_inv_and_batch_inverse",
+    "test_pallas_sumcheck.py::test_rect_prover_fused_matches_xla",
+    "test_pallas_sumcheck.py::test_fused_round_matches_xla",
+    "test_pippenger.py::test_pippenger_end_to_end",
+    "test_fused_prover.py::test_fused_prover_halves_pipeline_transcript_identical",
+    "test_fused_prover.py::test_fused_prover_unrolled_plus_scan_tail",
+    "test_fused_prover.py::test_fused_prover_transcript_identical[te_l2",
+    "test_triangle.py::test_triangle_witness_and_roundtrip[5-2]",
+    "test_pushforward.py::test_pushforward_image_bijection",
+    "test_pushforward.py::test_pushforward_prove_verify",
+    "test_pallas_halves.py::test_bind_round_halves_matches_bind_plus_round",
+    "test_pallas_halves.py::test_round_halves_matches_xla",
+    "test_pallas_halves.py::test_rect_dense_phase_device_handoff",
+    "test_pallas_halves.py::test_algebra_kernels_match_host_math",
+    "test_bintree.py::test_bintree_prove_verify_and_sums[3-3-2]",
+    "test_bintree.py::test_bintree_with_bitcheck",
+    "test_bintree.py::test_rect_sumcheck_roundtrip[False-2]",
+    "test_sharded.py::test_sharded_prove_transcript_identical",
+    "test_sharded.py::test_sharded_round_sums_match_local",
+    "test_curves.py::test_g1_device_complete_add",
+    "test_curves.py::test_bandersnatch_device_add",
+    "test_msm.py::test_msm_device_vs_host",
+    "test_msm.py::test_srs_dump_load",
+    "test_msm.py::test_pullback_bucketed_msm",
+    "test_commitments.py::test_kzg_open_verify",
+    "test_commitments.py::test_knuckles_opening_protocol",
+    "test_commitments.py::test_multiopen_reduction",
+    "test_sumcheck.py::test_dense_deg2_sumcheck_te_l1[2]",
+    "test_nno.py::test_nno_prove_verify_roundtrip[3]",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("GKR_MSM_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set GKR_MSM_RUN_SLOW=1 to run the full suite)"
+    )
+    for item in items:
+        if any(pat in item.nodeid for pat in SLOW_NODEID_PATTERNS):
+            item.add_marker(skip)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():

@@ -128,3 +128,31 @@ def test_multiopen_reduction(rng):
     assert out_claims == ver_claims
     for poly, e in zip(polys, ver_claims.evs):
         assert mle.evaluate(FR, poly, ver_claims.point) == e
+
+
+def test_compute_t_device_matches_host(rng):
+    """Device staged compute_t (knuckles.rs:111-154 analog) is bit-equal to
+    the host-int model at a size above the device switchover."""
+    import jax.numpy as jnp
+
+    from gkr_msm_tpu.commitments.knuckles import (
+        _DEVICE_T_MIN,
+        KnucklesProvingKey,
+    )
+    from gkr_msm_tpu.ops.field.spec import FR
+
+    num_vars = max(10, _DEVICE_T_MIN.bit_length() - 1)
+    n = 1 << num_vars
+    # compute_t touches only `inverses`, not the basis points: a zero ptau
+    # keeps this in the fast tier (no fixed-base batch setup)
+    fake_pk = kzgm.KzgProvingKey(
+        ptau_dev=jnp.zeros((2 * n - 1, 3, 24), dtype=jnp.uint32),
+        ptau_host=[], h0=None, h1=None,
+    )
+    key = KnucklesProvingKey.new(fake_pk, num_vars, k=2)
+    poly = [rng.randrange(FR.modulus) for _ in range(n)]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars)]
+    t_host, op_host = key.compute_t_host(poly, point)
+    t_dev, op_dev = key.compute_t(poly, point)
+    assert op_host == op_dev
+    assert t_host == t_dev

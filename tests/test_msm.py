@@ -81,3 +81,29 @@ def test_srs_dump_load(rng, tmp_path):
     assert pk2.h0 == pk.h0 and pk2.h1 == pk.h1
     poly = [rng.randrange(kzgm.FR.modulus) for _ in range(5)]
     assert pk.commit(poly) == pk2.commit(poly)
+
+
+def test_msm_device_vs_host_small_bitwidth(rng):
+    """Fast-tier device Pippenger check: 16-bit scalars keep the compile
+    count at 2 windows (the full-width variant lives in the slow tier)."""
+    n = 16
+    pts = [g1.Host.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(1 << 16) for _ in range(n)]
+    dev = msm.encode_points_device(pts)
+    got = msm.msm_host_result(dev, msm.scalars_ints_to_limbs(scalars), n_bits=16)
+    assert got == g1.Host.msm(scalars, pts)
+
+
+def test_pullback_accumulate_coefs(rng):
+    """Vectorized per-limb scatter-add == exact bigint accumulation
+    (pullback.rs:40-48)."""
+    from gkr_msm_tpu.ops.field.spec import FR
+
+    m, n = 13, 200
+    mapping = [rng.randrange(m) for _ in range(n)]
+    coefs = [rng.randrange(FR.modulus) for _ in range(n)]
+    acc = pb.accumulate_coefs(m, mapping, coefs)
+    ref = [0] * m
+    for j, c in zip(mapping, coefs):
+        ref[j] = (ref[j] + c) % FR.modulus
+    assert acc == ref

@@ -162,3 +162,36 @@ def test_pushforward_prove_verify(pf_state):
     assert out_p.claims_ac_d.evs[0] == mle.evaluate(
         FR, state.ac_d_dev, out_p.claims_ac_d.point
     )
+
+
+def test_witness_gen_vectorized_matches_naive(rng):
+    """The vectorized digit-decomposition / scatter-counter pass (numpy,
+    whole-matrix) matches a per-element naive model (pushforward.rs:351-429).
+    Fast tier: pure host, no device work."""
+    from gkr_msm_tpu.models.pushforward import (
+        _sorted_bucket_ranks,
+        decompose_digits,
+        scatter_counters,
+    )
+
+    y_size, d_logsize, x_logsize = 7, 4, 7
+    x_size = 1 << x_logsize
+    coefs = [rng.randrange(1 << (y_size * d_logsize)) for _ in range(x_size)]
+    digits = decompose_digits(coefs, y_size, d_logsize)
+    counter, orders, ranks = scatter_counters(digits)
+
+    for x in range(0, x_size, 17):
+        for y in range(y_size):
+            assert digits[y, x] == (coefs[x] >> (y * d_logsize)) & ((1 << d_logsize) - 1)
+    # counters: landing slot = number of earlier x with the same digit
+    for y in range(y_size):
+        seen = {}
+        for x in range(x_size):
+            d = int(digits[y, x])
+            assert counter[y, x] == seen.get(d, 0)
+            seen[d] = seen.get(d, 0) + 1
+    assert (ranks == counter).all()
+    # orders is the stable argsort; ranks invert it
+    ord2, sorted_d, rank_sorted = _sorted_bucket_ranks(digits)
+    assert (ord2 == orders).all()
+    assert (np.take_along_axis(digits, orders, axis=1) == sorted_d).all()
