@@ -54,10 +54,15 @@ def ev(poly: Sequence[int], x: int, p: int = FR.modulus) -> int:
 _FB_C = 8  # window bits for the fixed-base table
 
 
-@jax.jit
-def _fixed_base_combine(table: jnp.ndarray, digit_grid: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fixed_base_combine(
+    table: jnp.ndarray, digit_grid: jnp.ndarray, curve: str = "g1"
+) -> jnp.ndarray:
     """table (n_windows, 2^c, 3, L); digit_grid (N, n_windows) ->
     points (N, 3, L) = sum_w table[w][digit[i][w]]."""
+    from ..ops.msm.pippenger import _curve_ops
+
+    add, _dbl, neutral = _curve_ops(curve)
     n_windows = table.shape[0]
     sel = jnp.stack(
         [jnp.take(table[w], digit_grid[:, w], axis=0) for w in range(n_windows)],
@@ -65,14 +70,24 @@ def _fixed_base_combine(table: jnp.ndarray, digit_grid: jnp.ndarray) -> jnp.ndar
     )  # (N, n_windows, 3, L)
     while sel.shape[1] > 1:
         if sel.shape[1] % 2 == 1:
-            pad = g1.g1_neutral((sel.shape[0], 1))
+            pad = neutral((sel.shape[0], 1))
             sel = jnp.concatenate([sel, pad], axis=1)
-        sel = g1.g1_add(sel[:, 0::2], sel[:, 1::2])
+        sel = add(sel[:, 0::2], sel[:, 1::2])
     return sel[:, 0]
 
 
-def fixed_base_batch(base: Affine, scalars: Sequence[int]) -> jnp.ndarray:
-    """[k_i] -> device (N, 3, L) points k_i * base, via host window tables."""
+def fixed_base_batch(base: Affine, scalars: Sequence[int], curve: str = "g1") -> jnp.ndarray:
+    """[k_i] -> device (N, 3, L) points k_i * base, via host window tables.
+
+    curve='te' runs the same windowed scheme on Bandersnatch (used to
+    generate large random point sets on device — the reference relies on
+    arkworks' fast rand sampling, pippenger.rs:478)."""
+    if curve == "g1":
+        host, enc, identity = g1.Host, g1.encode_affine_to_proj, None
+    else:
+        from ..ops.curve import bandersnatch as bs
+
+        host, enc, identity = bs.Host, bs.encode_affine_to_proj, bs.Host.neutral()
     n_bits = FR.bits
     c = _FB_C
     n_windows = (n_bits + c - 1) // c
@@ -80,20 +95,20 @@ def fixed_base_batch(base: Affine, scalars: Sequence[int]) -> jnp.ndarray:
     tables = []
     step = base
     for w in range(n_windows):
-        row = [None]
+        row = [identity]
         for d in range(1, 1 << c):
-            row.append(g1.Host.add(row[-1], step) if d > 1 else step)
+            row.append(host.add(row[-1], step) if d > 1 else step)
         tables.append(row)
         for _ in range(c):
-            step = g1.Host.add(step, step)
+            step = host.add(step, step)
     table_dev = jnp.asarray(
-        np.stack(
-            [g1.encode_affine_to_proj(row) for row in tables]
-        )
+        np.stack([enc(row) for row in tables])
     )  # (n_windows, 2^c, 3, L)
     limbs = msm.scalars_ints_to_limbs(scalars)
     digits = msm.scalars_to_digit_matrix(limbs, c, n_bits).T  # (N, n_windows)
-    return _fixed_base_combine(table_dev, jnp.asarray(np.ascontiguousarray(digits.astype(np.int32))))
+    return _fixed_base_combine(
+        table_dev, jnp.asarray(np.ascontiguousarray(digits.astype(np.int32))), curve
+    )
 
 
 # -- keys ----------------------------------------------------------------------

@@ -660,10 +660,18 @@ def prove_rect_rounds_device(tr, fn: AlgFn, polys, point, gamma_pows, claim):
     return (cur, r_list), fl.decode_ints(FR, fin)
 
 
+# The single-dispatch prover unrolls every round into ONE XLA program —
+# fastest steady-state, but each distinct (fn, shape) costs a big compile
+# (~260 s at 2^20 on v5e).  Pipelines that sweep many layer shapes once
+# (e.g. the canonical x=16 e2e) can set GKR_MSM_FUSED_PROVER=0 to keep the
+# per-round pallas kernels (small compiles, reused across layers) instead.
+_FUSED = _os.environ.get("GKR_MSM_FUSED_PROVER", "1") != "0"
+
+
 def should_use(fn: AlgFn, num_vars: int) -> bool:
     from ..ops.pallas import field_kernels as fk
 
-    if fk._FORCE == "0":
+    if not _FUSED or fk._FORCE == "0":
         return False
     if fk._FORCE != "1" and not fk._backend_is_tpu():
         return False
@@ -677,7 +685,7 @@ def should_use_small(fn: AlgFn) -> bool:
     at any size on TPU."""
     from ..ops.pallas import field_kernels as fk
 
-    if fk._FORCE == "0":
+    if not _FUSED or fk._FORCE == "0":
         return False
     if fk._FORCE != "1" and not fk._backend_is_tpu():
         return False

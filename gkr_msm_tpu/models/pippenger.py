@@ -388,8 +388,26 @@ class PippengerOutput:
     vkey: KnucklesVerifyingKey
 
 
-def build_pippenger_data(rng, d_logsize, x_logsize, num_bits, clm) -> PippengerData:
-    points = [bs.Host.random_point(rng) for _ in range(1 << x_logsize)]
+def random_te_points(rng, n: int) -> list:
+    """n random Bandersnatch points as host affine tuples, generated on
+    device by fixed-base windowed multiplication (the host double-and-add
+    model costs ~250 adds/point — minutes at 2^16)."""
+    from ..commitments.kzg import fixed_base_batch
+
+    ks = [rng.randrange(1, bs.Host.order) for _ in range(n)]
+    pts_dev = fixed_base_batch(bs.Host.gen, ks, curve="te")
+    return bs.decode_proj_points(np.asarray(pts_dev))
+
+
+def build_pippenger_data(
+    rng, d_logsize, x_logsize, num_bits, clm, fast_points: bool | None = None
+) -> PippengerData:
+    if fast_points is None:
+        fast_points = x_logsize >= 10
+    if fast_points:
+        points = random_te_points(rng, 1 << x_logsize)
+    else:
+        points = [bs.Host.random_point(rng) for _ in range(1 << x_logsize)]
     coefs = [rng.randrange(1 << num_bits) for _ in range(1 << x_logsize)]
     y_size = (num_bits + d_logsize - 1) // d_logsize
     y_logsize = max(1, (y_size - 1).bit_length())  # ceil log2

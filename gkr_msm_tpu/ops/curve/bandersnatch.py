@@ -286,3 +286,14 @@ def decode_proj_points(arr) -> list:
         x, y, z = fl.decode_ints(FR, row)
         out.append(Host.normalize_proj((x, y, z)))
     return out
+
+
+def encode_affine_to_proj(points) -> np.ndarray:
+    """[(x,y) ints] -> uint32[n, 3, n_limbs] Montgomery projective (z=1).
+    TE has no point at infinity; the neutral is the affine (0, 1)."""
+    xs = fl.encode_ints(FR, [p[0] for p in points])
+    ys = fl.encode_ints(FR, [p[1] for p in points])
+    ones = np.broadcast_to(
+        np.asarray(FR.one_mont, dtype=np.uint32), xs.shape
+    ).copy()
+    return np.stack([xs, ys, ones], axis=1)

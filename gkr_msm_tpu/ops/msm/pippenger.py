@@ -33,6 +33,17 @@ from ..field.spec import FQ, FR
 DEFAULT_C = 8  # window bits; 16-bit limbs split evenly
 
 
+def _curve_ops(curve: str):
+    """(add, double, neutral) for a curve tag: 'g1' (BLS12-381 G1, the
+    commitment curve) or 'te' (Bandersnatch twisted Edwards, the MSM-under-
+    proof curve — used for the at-scale expected-MSM cross-check)."""
+    if curve == "g1":
+        return g1.g1_add, g1.g1_double, g1.g1_neutral
+    from ..curve import bandersnatch as bs
+
+    return bs.te_add, bs.te_double, bs.te_neutral
+
+
 def scalars_to_digit_matrix(scalars_std_limbs: np.ndarray, c: int, n_bits: int) -> np.ndarray:
     """uint32[N, n_limbs16] standard-form limbs -> uint32[n_windows, N] digits."""
     assert 16 % c == 0, "window size must divide 16"
@@ -68,45 +79,46 @@ def bucket_index_grid(
     return grid, capacity
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _bucket_combine_weighted(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _bucket_combine_weighted(buckets: jnp.ndarray, c: int, curve: str = "g1") -> jnp.ndarray:
     """(n_buckets, 3, L) bucket sums -> sum_j j * B_j via the running-sum
     identity sum_j j*B_j = sum_k sum_{j>=k} B_j as a lax.scan (graph stays
     O(1) adds; msm_nonaffine.rs:137-144)."""
+    add, _dbl, neutral = _curve_ops(curve)
 
     def step(carry, bj):
         running, total = carry
-        running = g1.g1_add(running, bj)
-        total = g1.g1_add(total, running)
+        running = add(running, bj)
+        total = add(total, running)
         return (running, total), None
 
     xs = buckets[1:][::-1]  # j = n_buckets-1 .. 1
-    (_, total), _ = jax.lax.scan(
-        step, (g1.g1_neutral(), g1.g1_neutral()), xs
-    )
+    (_, total), _ = jax.lax.scan(step, (neutral(), neutral()), xs)
     return total
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int, curve: str = "g1") -> jnp.ndarray:
     """(n_buckets, capacity, 3, L) points -> window sum  sum_j j * B_j.
 
     Capacity tree-reduction is log2(capacity) batched adds, then the
     weighted running-sum combination."""
+    add, _dbl, _neutral = _curve_ops(curve)
     pts = grid_points
     while pts.shape[1] > 1:
-        pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
-    return _bucket_combine_weighted(pts[:, 0], c)
+        pts = add(pts[:, 0::2], pts[:, 1::2])
+    return _bucket_combine_weighted(pts[:, 0], c, curve)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _window_ladder(window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _window_ladder(window_sums: jnp.ndarray, c: int, curve: str = "g1") -> jnp.ndarray:
     """Horner combine: S = sum_w 2^(c*w) * S_w; window_sums (n_windows, 3, L)."""
+    add, dbl, _neutral = _curve_ops(curve)
 
     def step(acc, sw):
         for _ in range(c):
-            acc = g1.g1_double(acc)
-        return g1.g1_add(acc, sw), None
+            acc = dbl(acc)
+        return add(acc, sw), None
 
     acc = window_sums[-1]
     rest = window_sums[:-1][::-1]
@@ -119,6 +131,7 @@ def msm_device(
     scalars_std_limbs: np.ndarray,
     c: int = DEFAULT_C,
     n_bits: int | None = None,
+    curve: str = "g1",
 ) -> jnp.ndarray:
     """MSM of device projective points (N, 3, L) by host standard-limb scalars.
 
@@ -132,13 +145,14 @@ def msm_device(
     from ...parallel import context as _ctx
 
     mesh = _ctx.get_mesh()
-    if mesh is not None and _ctx.shardable(n, mesh):
+    if mesh is not None and curve == "g1" and _ctx.shardable(n, mesh):
         from ...parallel.sharded import sharded_msm_device
 
         return sharded_msm_device(mesh, points_proj, scalars_std_limbs, c, n_bits)
+    _add, _dbl, neutral = _curve_ops(curve)
     digits = scalars_to_digit_matrix(scalars_std_limbs, c, n_bits)
     n_windows = digits.shape[0]
-    pts_ext = jnp.concatenate([points_proj, g1.g1_neutral((1,))], axis=0)
+    pts_ext = jnp.concatenate([points_proj, neutral((1,))], axis=0)
     # one shared capacity across windows => a single compiled kernel
     max_c = max(
         1, int(max(np.bincount(digits[w], minlength=1 << c).max() for w in range(n_windows)))
@@ -150,9 +164,9 @@ def msm_device(
     for w in range(n_windows):
         grid, _cap = bucket_index_grid(digits[w], 1 << c, n, capacity)
         grid_points = jnp.take(pts_ext, jnp.asarray(grid), axis=0)
-        sums.append(_bucket_reduce_and_combine(grid_points, c))
+        sums.append(_bucket_reduce_and_combine(grid_points, c, curve))
     window_sums = jnp.stack(sums)
-    return _window_ladder(window_sums, c)
+    return _window_ladder(window_sums, c, curve)
 
 
 # -----------------------------------------------------------------------------

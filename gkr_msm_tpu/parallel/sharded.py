@@ -42,13 +42,26 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=(AXIS,))
 
 
+def _place(arr, sharding: NamedSharding):
+    """device_put in single-process; per-shard callback when the mesh spans
+    processes (multi-host DCN: every host holds the same host-side array —
+    the replicated-transcript model, SURVEY.md §5 distributed backend)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        # already a global array: reshard on device (cross-host collective)
+        return jax.jit(lambda x: x, out_shardings=sharding)(arr)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
 def shard_table(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
     """Place a (N, ...) table with the leading axis sharded over the mesh."""
-    return jax.device_put(arr, NamedSharding(mesh, PSpec(AXIS)))
+    return _place(arr, NamedSharding(mesh, PSpec(AXIS)))
 
 
 def replicate(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
-    return jax.device_put(arr, NamedSharding(mesh, PSpec()))
+    return _place(arr, NamedSharding(mesh, PSpec()))
 
 
 def _local_round_sums(spec: FieldSpec, fn: AlgFn, polys, eq_tbl):
@@ -327,7 +340,7 @@ def sharded_prove(
 
 def shard_rect(mesh: Mesh, data: jnp.ndarray) -> jnp.ndarray:
     """Place (n_rows, cap, L) with the ROW axis sharded over the mesh."""
-    return jax.device_put(data, NamedSharding(mesh, PSpec(AXIS, None, None)))
+    return _place(data, NamedSharding(mesh, PSpec(AXIS, None, None)))
 
 
 def sharded_rect_round_sums(

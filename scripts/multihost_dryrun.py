@@ -1,0 +1,135 @@
+"""Multi-host (DCN) dryrun: 2 jax.distributed processes, one global mesh.
+
+The reference has no distributed layer at all (SURVEY.md §2.12); the
+TPU-native framework's multi-host model is: every host holds the SAME
+Fiat-Shamir transcript (host ints; challenges derive from identical bytes,
+so they agree with zero communication), table shards live on each host's
+devices, and the only cross-host traffic is the per-round psum of O(deg)
+field scalars riding the jax.distributed backend (SURVEY.md §5).
+
+Parent mode spawns two worker processes (4 virtual CPU devices each ->
+one 8-device global mesh), runs the sharded deg-2 sumcheck prover on both,
+and asserts the two proofs are byte-identical and equal to a single-device
+reference prove.
+
+Usage:  python scripts/multihost_dryrun.py           # parent (spawns 2)
+        python scripts/multihost_dryrun.py --worker 0 --port 9911
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEVICES_PER_PROC = 4
+NUM_PROCS = 2
+
+
+def worker(process_id: int, port: int) -> int:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", DEVICES_PER_PROC)
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=NUM_PROCS,
+        process_id=process_id,
+    )
+    assert jax.device_count() == NUM_PROCS * DEVICES_PER_PROC
+    assert jax.process_count() == NUM_PROCS
+
+    import random
+
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from gkr_msm_tpu.models.sumcheck import (
+        DenseDeg2Sumcheck,
+        SinglePointClaims,
+        claims_for_map,
+    )
+    from gkr_msm_tpu.ops.curve import bandersnatch as bs
+    from gkr_msm_tpu.ops.field.spec import FR
+    from gkr_msm_tpu.ops.poly import mle
+    from gkr_msm_tpu.parallel import sharded
+    from gkr_msm_tpu.utils.transcript import Transcript
+
+    # identical inputs on every host (replicated-witness model)
+    rng = random.Random(0xD15C)
+    nprng = np.random.default_rng(0xD15C)
+    fn = bs.PROJ_L2
+    num_vars = 7
+    polys_host = [
+        np.asarray(mle.random_poly_fast(FR, nprng, num_vars))
+        for _ in range(fn.n_ins)
+    ]
+    point = [rng.randrange(FR.modulus) for _ in range(num_vars)]
+    claims = claims_for_map(FR, fn, [np.asarray(p) for p in polys_host], point)
+
+    # single-device reference prove (local to this host)
+    proto = DenseDeg2Sumcheck(fn=fn, num_vars=num_vars)
+    tr_ref = Transcript(b"multihost")
+    proto.prove(tr_ref, claims, [np.asarray(p) for p in polys_host])
+    ref_proof = tr_ref.end()
+
+    # sharded prove over the GLOBAL mesh (both hosts participate)
+    mesh = sharded.make_mesh(jax.devices())
+    tr = Transcript(b"multihost")
+    sharded.sharded_prove(mesh, tr, fn, num_vars, claims, polys_host)
+    proof = tr.end()
+
+    assert proof == ref_proof, "multi-host proof != single-device proof"
+    print(f"proc{process_id} proof sha256={hashlib.sha256(proof).hexdigest()}",
+          flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+def parent() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+             "--port", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO,
+        )
+        for i in range(NUM_PROCS)
+    ]
+    outs = []
+    rc = 0
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        rc |= p.returncode
+    digests = []
+    for i, out in enumerate(outs):
+        for line in out.splitlines():
+            if "sha256=" in line:
+                digests.append(line.split("sha256=")[1].strip())
+    if rc != 0 or len(digests) != NUM_PROCS or len(set(digests)) != 1:
+        for i, out in enumerate(outs):
+            sys.stderr.write(f"--- worker {i} ---\n{out}\n")
+        print("MULTIHOST DRYRUN FAILED")
+        return 1
+    print(f"multihost dryrun OK: {NUM_PROCS} hosts, identical proofs "
+          f"(sha256={digests[0][:16]}…)")
+    return 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--port", type=int, default=9911)
+    args = ap.parse_args()
+    if args.worker is not None:
+        sys.exit(worker(args.worker, args.port))
+    sys.exit(parent())

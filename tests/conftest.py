@@ -50,6 +50,7 @@ SLOW_NODEID_PATTERNS = [
     "test_bintree.py::test_bintree_with_bitcheck",
     "test_bintree.py::test_rect_sumcheck_roundtrip[False-2]",
     "test_sharded.py::test_sharded_prove_transcript_identical",
+    "test_sharded.py::test_sharded_pippenger_e2e_transcript_identical",
     "test_sharded.py::test_sharded_round_sums_match_local",
     "test_curves.py::test_g1_device_complete_add",
     "test_curves.py::test_bandersnatch_device_add",

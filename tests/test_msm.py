@@ -107,3 +107,33 @@ def test_pullback_accumulate_coefs(rng):
     for j, c in zip(mapping, coefs):
         ref[j] = (ref[j] + c) % FR.modulus
     assert acc == ref
+
+
+def test_msm_device_te_curve(rng):
+    """Device Pippenger on the Bandersnatch TE curve (curve='te') matches
+    the host model — used for the at-scale expected-MSM cross-check."""
+    import jax.numpy as jnp
+
+    from gkr_msm_tpu.ops.curve import bandersnatch as bs
+    from gkr_msm_tpu.ops.field import limbs as fl
+    from gkr_msm_tpu.ops.field.spec import FR
+
+    n = 16
+    pts = [bs.Host.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(1 << 16) for _ in range(n)]
+    dev = jnp.asarray(bs.encode_affine_to_proj(pts))
+    out = msm.msm_device(dev, msm.scalars_ints_to_limbs(scalars), n_bits=16, curve="te")
+    xyz = fl.decode_ints(FR, np.asarray(out))
+    got = bs.Host.normalize_proj(tuple(xyz)) if xyz[2] != 0 else bs.Host.neutral()
+    assert got == bs.Host.msm(scalars, pts)
+
+
+def test_te_fixed_base_batch(rng):
+    """Device fixed-base batch on Bandersnatch == host scalar_mul."""
+    from gkr_msm_tpu.commitments.kzg import fixed_base_batch
+    from gkr_msm_tpu.ops.curve import bandersnatch as bs
+
+    ks = [rng.randrange(1, bs.Host.order) for _ in range(4)]
+    pts = bs.decode_proj_points(np.asarray(fixed_base_batch(bs.Host.gen, ks, curve="te")))
+    for k, got in zip(ks, pts):
+        assert got == bs.Host.scalar_mul(k, bs.Host.gen)

