@@ -52,6 +52,7 @@ def ev(poly: Sequence[int], x: int, p: int = FR.modulus) -> int:
 # -- fixed-base batch scalar multiplication (device) ---------------------------
 
 _FB_C = 8  # window bits for the fixed-base table
+_FB_CHUNK = 1 << 16  # combine slice size (caps the gather tensor at ~0.6 GB)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -106,9 +107,25 @@ def fixed_base_batch(base: Affine, scalars: Sequence[int], curve: str = "g1") ->
     )  # (n_windows, 2^c, 3, L)
     limbs = msm.scalars_ints_to_limbs(scalars)
     digits = msm.scalars_to_digit_matrix(limbs, c, n_bits).T  # (N, n_windows)
-    return _fixed_base_combine(
-        table_dev, jnp.asarray(np.ascontiguousarray(digits.astype(np.int32))), curve
-    )
+    digits = np.ascontiguousarray(digits.astype(np.int32))
+    # chunk the combine: the (N, n_windows, 3, L) gather tensor is ~9 GB at
+    # N = 2^20 — process 2^16-point slices (one compiled program, reused)
+    chunk = _FB_CHUNK
+    if digits.shape[0] <= chunk:
+        return _fixed_base_combine(table_dev, jnp.asarray(digits), curve)
+    outs = []
+    for i in range(0, digits.shape[0], chunk):
+        part = digits[i : i + chunk]
+        if part.shape[0] < chunk:  # pad to the compiled shape (digit 0 = id)
+            pad = np.zeros((chunk - part.shape[0], part.shape[1]), np.int32)
+            outs.append(
+                _fixed_base_combine(
+                    table_dev, jnp.asarray(np.concatenate([part, pad])), curve
+                )[: part.shape[0]]
+            )
+        else:
+            outs.append(_fixed_base_combine(table_dev, jnp.asarray(part), curve))
+    return jnp.concatenate(outs, axis=0)
 
 
 # -- keys ----------------------------------------------------------------------

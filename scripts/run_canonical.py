@@ -44,10 +44,19 @@ def main(argv=None):
     sys.path.insert(0, repo)
 
     platform = args.platform or os.environ.get("GKR_MSM_PLATFORM")
-    if platform:
-        import jax
+    import jax
 
+    if platform:
         jax.config.update("jax_platforms", platform)
+    # cache EVERY compile (default threshold skips sub-second ones; the
+    # canonical sweep is hundreds of small kernels paid through the tunnel)
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    def tick(msg):
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     import random
 
@@ -70,11 +79,13 @@ def main(argv=None):
     stamp = {}
     t_all = time.perf_counter()
 
+    tick(f"start x={args.x_logsize} d={args.d_logsize} nbits={args.nbits} clm={args.clm}")
     with span("build data (points + SRS)"):
         data = build_pippenger_data(
             rng, args.d_logsize, args.x_logsize, args.nbits, args.clm
         )
     stamp["build_s"] = time.perf_counter() - t_all
+    tick(f"data built in {stamp['build_s']:.1f}s")
 
     expected = None
     if not args.skip_msm_check:
@@ -86,6 +97,7 @@ def main(argv=None):
             xyz = fl.decode_ints(FR, np.asarray(out))
             expected = bs.Host.normalize_proj(tuple(xyz))
         stamp["expected_msm_s"] = time.perf_counter() - t0
+        tick(f"expected MSM in {stamp['expected_msm_s']:.1f}s")
 
     t0 = time.perf_counter()
     tr = Transcript(b"canonical")
@@ -93,12 +105,14 @@ def main(argv=None):
     proof = tr.end()
     stamp["prove_s"] = time.perf_counter() - t0
     stamp["proof_bytes"] = len(proof)
+    tick(f"proved in {stamp['prove_s']:.1f}s ({len(proof)} bytes)")
 
     t0 = time.perf_counter()
     tv = Transcript(b"canonical", proof=proof)
     got = verify_pippenger(tv, data.config, output, expected_msm=expected)
     tv.assert_end()
     stamp["verify_s"] = time.perf_counter() - t0
+    tick(f"verified in {stamp['verify_s']:.1f}s")
     stamp["msm_equality"] = (expected is None) or (got == expected)
     stamp["total_s"] = time.perf_counter() - t_all
 

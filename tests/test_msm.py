@@ -137,3 +137,18 @@ def test_te_fixed_base_batch(rng):
     pts = bs.decode_proj_points(np.asarray(fixed_base_batch(bs.Host.gen, ks, curve="te")))
     for k, got in zip(ks, pts):
         assert got == bs.Host.scalar_mul(k, bs.Host.gen)
+
+
+def test_fixed_base_batch_chunked(rng, monkeypatch):
+    """Sliced fixed-base combine == unsliced (the 2^16 slice cap exists only
+    to bound the gather tensor; exercised here with a tiny slice size)."""
+    from gkr_msm_tpu.commitments import kzg as kzgm2
+    from gkr_msm_tpu.ops.curve import bandersnatch as bs
+
+    ks = [rng.randrange(1, bs.Host.order) for _ in range(7)]
+    full = np.asarray(kzgm2.fixed_base_batch(bs.Host.gen, ks, curve="te"))
+    monkeypatch.setattr(kzgm2, "_FB_CHUNK", 4)
+    sliced = np.asarray(kzgm2.fixed_base_batch(bs.Host.gen, ks, curve="te"))
+    got = bs.decode_proj_points(sliced)
+    expect = bs.decode_proj_points(full)
+    assert got == expect
