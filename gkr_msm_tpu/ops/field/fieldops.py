@@ -51,3 +51,43 @@ class StdOps:
 
     def one_like(self, a):
         return fl.ones_mont(self.spec, a.shape[:-1])
+
+
+@dataclasses.dataclass(frozen=True)
+class IntOps:
+    """Exact host-int executor: the same layer formulas on Python ints mod p
+    (the legacy protocol generation and verifier-side cross-checks run on
+    the scalar plane — models/legacy_protocols.py)."""
+
+    spec: FieldSpec
+
+    @property
+    def p(self) -> int:
+        return self.spec.modulus
+
+    def mul(self, a, b):
+        return a * b % self.p
+
+    def add(self, a, b):
+        return (a + b) % self.p
+
+    def sub(self, a, b):
+        return (a - b) % self.p
+
+    def square(self, a):
+        return a * a % self.p
+
+    def double(self, a):
+        return 2 * a % self.p
+
+    def neg(self, a):
+        return (-a) % self.p
+
+    def mul_const(self, a, c_mont: np.ndarray):
+        c = 0
+        for k, limb in enumerate(np.asarray(c_mont).reshape(-1)):
+            c |= int(limb) << (16 * k)
+        return a * self.spec.from_mont_int(c) % self.p
+
+    def one_like(self, a):
+        return 1

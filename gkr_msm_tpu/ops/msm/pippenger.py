@@ -57,6 +57,16 @@ def scalars_to_digit_matrix(scalars_std_limbs: np.ndarray, c: int, n_bits: int) 
     return np.stack(digs)
 
 
+def grid_capacity(max_c: int) -> int:
+    """Physical bucket capacity for a worst-case load: TIGHT (next multiple
+    of 8), not the next power of two — bucket loads are multinomial, so the
+    worst bucket sits only ~3 sigma above N/2^c and a pow2 roundup wastes up
+    to 2x of the dominant tree-reduce work.  The reduce loop pads odd levels
+    with one neutral column instead (msm_nonaffine.rs sizes buckets exactly
+    per window; this is the vectorized equivalent)."""
+    return max(2, ((max_c + 7) // 8) * 8)
+
+
 def bucket_index_grid(
     digits: np.ndarray, n_buckets: int, sentinel: int, capacity: int | None = None
 ) -> Tuple[np.ndarray, int]:
@@ -70,9 +80,7 @@ def bucket_index_grid(
     counts = np.bincount(digits, minlength=n_buckets)
     max_c = max(1, int(counts.max()))
     if capacity is None:
-        capacity = 1
-        while capacity < max_c:
-            capacity *= 2
+        capacity = grid_capacity(max_c)
     assert capacity >= max_c
     grid = np.full((n_buckets, capacity), sentinel, dtype=np.int64)
     grid[sorted_d, rank] = order
@@ -101,11 +109,15 @@ def _bucket_combine_weighted(buckets: jnp.ndarray, c: int, curve: str = "g1") ->
 def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int, curve: str = "g1") -> jnp.ndarray:
     """(n_buckets, capacity, 3, L) points -> window sum  sum_j j * B_j.
 
-    Capacity tree-reduction is log2(capacity) batched adds, then the
-    weighted running-sum combination."""
-    add, _dbl, _neutral = _curve_ops(curve)
+    Capacity tree-reduction is ~log2(capacity) batched adds (odd levels pad
+    one neutral column), then the weighted running-sum combination."""
+    add, _dbl, neutral = _curve_ops(curve)
     pts = grid_points
     while pts.shape[1] > 1:
+        if pts.shape[1] % 2:
+            pts = jnp.concatenate(
+                [pts, neutral((pts.shape[0], 1))], axis=1
+            )
         pts = add(pts[:, 0::2], pts[:, 1::2])
     return _bucket_combine_weighted(pts[:, 0], c, curve)
 
@@ -157,9 +169,7 @@ def msm_device(
     max_c = max(
         1, int(max(np.bincount(digits[w], minlength=1 << c).max() for w in range(n_windows)))
     )
-    capacity = 1
-    while capacity < max_c:
-        capacity *= 2
+    capacity = grid_capacity(max_c)
     sums = []
     for w in range(n_windows):
         grid, _cap = bucket_index_grid(digits[w], 1 << c, n, capacity)

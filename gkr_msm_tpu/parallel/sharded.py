@@ -459,6 +459,10 @@ def sharded_bucket_partials(
     def step(grid_l):
         pts = grid_l
         while pts.shape[1] > 1:
+            if pts.shape[1] % 2:
+                pts = jnp.concatenate(
+                    [pts, g1.g1_neutral((pts.shape[0], 1))], axis=1
+                )
             pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
         partial = pts[:, 0]  # (n_buckets, 3, L) this shard's partial sums
         allp = jax.lax.all_gather(partial, AXIS)  # (D, n_buckets, 3, L)
@@ -515,9 +519,7 @@ def sharded_msm_device(
                 max_c,
                 int(np.bincount(local_digits[w, d], minlength=n_buckets).max()),
             )
-    capacity = 1
-    while capacity < max_c:
-        capacity *= 2
+    capacity = msm.grid_capacity(max_c)
 
     # per-shard extended points: [shard points | one neutral pad] per shard
     pts_ext = jnp.concatenate(

@@ -11,8 +11,15 @@ pipeline phases do a final decode/transfer anyway, which synchronizes).
 from __future__ import annotations
 
 import contextlib
+import os
+import sys
 import time
 from typing import List, Optional
+
+# GKR_MSM_TRACE=1: stream span enter/exit lines to stderr as they happen
+# (the span tree only renders at the end — useless when a phase hangs on a
+# multi-minute remote compile; this is the live view).
+_LIVE = os.environ.get("GKR_MSM_TRACE", "0") == "1"
 
 
 class Span:
@@ -46,11 +53,20 @@ class Tracer:
         node.start = time.perf_counter()
         node.count += 1
         self.current = node
+        if _LIVE:
+            print(f"[span+] {time.strftime('%H:%M:%S')} {name}", file=sys.stderr, flush=True)
         try:
             yield
         finally:
             node.elapsed += time.perf_counter() - node.start
             self.current = parent
+            if _LIVE:
+                print(
+                    f"[span-] {time.strftime('%H:%M:%S')} {name} "
+                    f"({time.perf_counter() - node.start:.1f}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
 
     def render(self) -> str:
         lines: List[str] = []
