@@ -167,10 +167,33 @@ class KzgProvingKey:
     ptau_host: List[Affine]  # host mirror (pushforward basis-bucket commits)
     h0: pr.G2Affine
     h1: pr.G2Affine
+    _packed: object = dataclasses.field(default=None, repr=False, compare=False)
 
     @property
     def size(self) -> int:
         return int(self.ptau_dev.shape[0])
+
+    def packed_bases(self) -> "msm.PackedAffineBases":
+        """Lazily-built host-packed affine table for the fast MSM path."""
+        if self._packed is None:
+            self._packed = msm.PackedAffineBases(self.ptau_host)
+        return self._packed
+
+    def commit_limbs(self, limbs: np.ndarray, n_bits: int | None = None) -> Affine:
+        """MSM of standard-form scalar limbs against the SRS prefix.
+
+        Routes to the packed-affine fold path on TPU (host torch gather +
+        mixed-add fold kernels), the sharded path under an active mesh, and
+        the generic device Pippenger elsewhere."""
+        from ..ops.pallas import curve_kernels as ck
+        from ..parallel import context as _ctx
+
+        n = limbs.shape[0]
+        mesh = _ctx.get_mesh()
+        if ck.should_use() and (mesh is None or not _ctx.shardable(n, mesh)):
+            out = msm.msm_packed(self.packed_bases(), limbs, n_bits=n_bits)
+            return g1.decode_proj(np.asarray(out)[None])[0]
+        return msm.msm_host_result(self.ptau_dev[:n], limbs, n_bits=n_bits)
 
     @classmethod
     def mock_setup(cls, tau: int, g0: Affine, h0: pr.G2Affine, size: int) -> "KzgProvingKey":
@@ -190,7 +213,7 @@ class KzgProvingKey:
         n = len(poly)
         assert n <= self.size, "Vector is too large."
         limbs = msm.scalars_ints_to_limbs(poly)
-        return msm.msm_host_result(self.ptau_dev[:n], limbs)
+        return self.commit_limbs(limbs)
 
     def open(self, poly: Sequence[int], pt: int) -> Tuple[Affine, int]:
         """Commitment to poly/(x-pt) quotient + the opening (kzg.rs:129-132)."""

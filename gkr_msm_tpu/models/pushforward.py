@@ -274,22 +274,20 @@ class PushForwardState:
             limbs[:, 0] = chunk & 0xFFFF
             limbs[:, 1] = (chunk >> 16) & 0xFFFF
             out.append(
-                msm.msm_host_result(
-                    self.key.kzg_pk.ptau_dev[: chunk.shape[0]], limbs,
-                    n_bits=max(n_bits, msm.DEFAULT_C),
+                self.key.kzg_pk.commit_limbs(
+                    limbs, n_bits=max(n_bits, msm.DEFAULT_C)
                 )
             )
         return out
 
     def _commit_scalar_dev(self, poly_mont: jnp.ndarray):
         limbs = msm.fr_poly_to_scalar_limbs(poly_mont)
-        return msm.msm_host_result(self.key.kzg_pk.ptau_dev[: limbs.shape[0]], limbs)
+        return self.key.kzg_pk.commit_limbs(limbs)
 
     def _commit_mont_matrix(self, flat_dev: jnp.ndarray) -> List:
         limbs = msm.fr_poly_to_scalar_limbs(flat_dev)
         return [
-            msm.msm_host_result(self.key.kzg_pk.ptau_dev[: ch.shape[0]], ch)
-            for ch in self._chunks(limbs)
+            self.key.kzg_pk.commit_limbs(ch) for ch in self._chunks(limbs)
         ]
 
     # -- phase 2 --------------------------------------------------------------

@@ -41,68 +41,133 @@ def _b3_mont() -> np.ndarray:
     return fl.encode_ints(FQ, [B3_INT])[0]
 
 
-def _mul_b3(x: jnp.ndarray) -> jnp.ndarray:
-    return fl.mul_const(FQ, x, _b3_mont())
+def g1_add_ops(o, p_xyz, q_xyz):
+    """Complete projective add written against the field-ops protocol
+    (ops/field/fieldops.py): same formula runs on standard-layout arrays
+    (StdOps) and on transposed values inside fused Pallas kernels (TOps).
+
+    RCB15 Algorithm 7 (a=0).  Handles doubling and the identity (0:1:0)
+    uniformly.  p_xyz/q_xyz: (X, Y, Z) coordinate triples.
+    """
+    X1, Y1, Z1 = p_xyz
+    X2, Y2, Z2 = q_xyz
+    b3 = _b3_mont()
+    t0 = o.mul(X1, X2)
+    t1 = o.mul(Y1, Y2)
+    t2 = o.mul(Z1, Z2)
+    t3 = o.mul(o.add(X1, Y1), o.add(X2, Y2))
+    t3 = o.sub(t3, o.add(t0, t1))
+    t4 = o.mul(o.add(Y1, Z1), o.add(Y2, Z2))
+    t4 = o.sub(t4, o.add(t1, t2))
+    x3 = o.mul(o.add(X1, Z1), o.add(X2, Z2))
+    y3 = o.sub(x3, o.add(t0, t2))
+    x3 = o.add(t0, t0)
+    t0 = o.add(x3, t0)
+    t2 = o.mul_const(t2, b3)
+    z3 = o.add(t1, t2)
+    t1 = o.sub(t1, t2)
+    y3 = o.mul_const(y3, b3)
+    x3 = o.mul(t4, y3)
+    t2 = o.mul(t3, t1)
+    x3 = o.sub(t2, x3)
+    y3 = o.mul(y3, t0)
+    t1 = o.mul(t1, z3)
+    y3 = o.add(t1, y3)
+    t0 = o.mul(t0, t3)
+    z3 = o.mul(z3, t4)
+    z3 = o.add(z3, t0)
+    return x3, y3, z3
+
+
+def g1_madd_ops(o, p_xyz, q_xy):
+    """Complete mixed addition P(projective) + Q(affine), RCB15 Algorithm 8
+    (a=0).  Complete in P (identity included); Q must be a real point —
+    callers mask identity-Q lanes out (the MSM pad-slot mask).
+    """
+    X1, Y1, Z1 = p_xyz
+    X2, Y2 = q_xy
+    b3 = _b3_mont()
+    t0 = o.mul(X1, X2)
+    t1 = o.mul(Y1, Y2)
+    t3 = o.add(X2, Y2)
+    t4 = o.add(X1, Y1)
+    t3 = o.mul(t3, t4)
+    t4 = o.add(t0, t1)
+    t3 = o.sub(t3, t4)
+    t4 = o.mul(Y2, Z1)
+    t4 = o.add(t4, Y1)
+    y3 = o.mul(X2, Z1)
+    y3 = o.add(y3, X1)
+    x3 = o.add(t0, t0)
+    t0 = o.add(x3, t0)
+    t2 = o.mul_const(Z1, b3)
+    z3 = o.add(t1, t2)
+    t1 = o.sub(t1, t2)
+    y3 = o.mul_const(y3, b3)
+    x3 = o.mul(t4, y3)
+    t2 = o.mul(t3, t1)
+    x3 = o.sub(t2, x3)
+    y3 = o.mul(y3, t0)
+    t1 = o.mul(t1, z3)
+    y3 = o.add(t1, y3)
+    t0 = o.mul(t0, t3)
+    z3 = o.mul(z3, t4)
+    z3 = o.add(z3, t0)
+    return x3, y3, z3
+
+
+def g1_double_ops(o, p_xyz):
+    """Complete projective doubling (RCB15 Algorithm 9, a=0)."""
+    X, Y, Z = p_xyz
+    b3 = _b3_mont()
+    t0 = o.mul(Y, Y)
+    z3 = o.add(t0, t0)
+    z3 = o.add(z3, z3)
+    z3 = o.add(z3, z3)
+    t1 = o.mul(Y, Z)
+    t2 = o.mul(Z, Z)
+    t2 = o.mul_const(t2, b3)
+    x3 = o.mul(t2, z3)
+    y3 = o.add(t0, t2)
+    z3 = o.mul(t1, z3)
+    t1 = o.add(t2, t2)
+    t2 = o.add(t1, t2)
+    t0 = o.sub(t0, t2)
+    y3 = o.mul(t0, y3)
+    y3 = o.add(x3, y3)
+    t1 = o.mul(X, Y)
+    x3 = o.mul(t0, t1)
+    x3 = o.add(x3, x3)
+    return x3, y3, z3
+
+
+_STD = None
+
+
+def _std_ops():
+    global _STD
+    if _STD is None:
+        from ..field.fieldops import StdOps
+
+        _STD = StdOps(FQ)
+    return _STD
 
 
 def g1_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Complete projective add, points as uint32[..., 3, n_limbs] (X:Y:Z).
-
-    RCB15 Algorithm 7 (a=0).  Handles doubling and the identity (0:1:0)
-    uniformly.
-    """
-    F = FQ
-    X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
-    t0 = fl.mul(F, X1, X2)
-    t1 = fl.mul(F, Y1, Y2)
-    t2 = fl.mul(F, Z1, Z2)
-    t3 = fl.mul(F, fl.add(F, X1, Y1), fl.add(F, X2, Y2))
-    t3 = fl.sub(F, t3, fl.add(F, t0, t1))
-    t4 = fl.mul(F, fl.add(F, Y1, Z1), fl.add(F, Y2, Z2))
-    t4 = fl.sub(F, t4, fl.add(F, t1, t2))
-    x3 = fl.mul(F, fl.add(F, X1, Z1), fl.add(F, X2, Z2))
-    y3 = fl.sub(F, x3, fl.add(F, t0, t2))
-    x3 = fl.add(F, t0, t0)
-    t0 = fl.add(F, x3, t0)
-    t2 = _mul_b3(t2)
-    z3 = fl.add(F, t1, t2)
-    t1 = fl.sub(F, t1, t2)
-    y3 = _mul_b3(y3)
-    x3 = fl.mul(F, t4, y3)
-    t2 = fl.mul(F, t3, t1)
-    x3 = fl.sub(F, t2, x3)
-    y3 = fl.mul(F, y3, t0)
-    t1 = fl.mul(F, t1, z3)
-    y3 = fl.add(F, t1, y3)
-    t0 = fl.mul(F, t0, t3)
-    z3 = fl.mul(F, z3, t4)
-    z3 = fl.add(F, z3, t0)
+    """Complete projective add, points as uint32[..., 3, n_limbs] (X:Y:Z)."""
+    x3, y3, z3 = g1_add_ops(
+        _std_ops(),
+        (p[..., 0, :], p[..., 1, :], p[..., 2, :]),
+        (q[..., 0, :], q[..., 1, :], q[..., 2, :]),
+    )
     return jnp.stack([x3, y3, z3], axis=-2)
 
 
 def g1_double(p: jnp.ndarray) -> jnp.ndarray:
     """Complete projective doubling (RCB15 Algorithm 9, a=0)."""
-    F = FQ
-    X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    t0 = fl.mul(F, Y, Y)
-    z3 = fl.add(F, t0, t0)
-    z3 = fl.add(F, z3, z3)
-    z3 = fl.add(F, z3, z3)
-    t1 = fl.mul(F, Y, Z)
-    t2 = fl.mul(F, Z, Z)
-    t2 = _mul_b3(t2)
-    x3 = fl.mul(F, t2, z3)
-    y3 = fl.add(F, t0, t2)
-    z3 = fl.mul(F, t1, z3)
-    t1 = fl.add(F, t2, t2)
-    t2 = fl.add(F, t1, t2)
-    t0 = fl.sub(F, t0, t2)
-    y3 = fl.mul(F, t0, y3)
-    y3 = fl.add(F, x3, y3)
-    t1 = fl.mul(F, X, Y)
-    x3 = fl.mul(F, t0, t1)
-    x3 = fl.add(F, x3, x3)
+    x3, y3, z3 = g1_double_ops(
+        _std_ops(), (p[..., 0, :], p[..., 1, :], p[..., 2, :])
+    )
     return jnp.stack([x3, y3, z3], axis=-2)
 
 

@@ -8,11 +8,19 @@ is the enemy on TPU, so the bucket accumulation is reformulated as
      (the sort-by-digit / segmented-reduction formulation, SURVEY.md §7.6);
   2. device: one gather + log2(capacity) rounds of batched complete
      projective additions (the VPU-shaped tree reduction);
-  3. device: weighted bucket combination sum_j j*B_j via bitwise masks
-     (sum_b 2^b * sum_{j: bit b} B_j), replacing the sequential
-     running-sum reduction (msm_nonaffine.rs:137-144) with c parallel
-     masked tree sums;
+  3. device: weighted bucket combination sum_j j*B_j via the bit-masked
+     parallel identity  sum_j j*B_j = sum_b 2^b * (sum_{j: bit b set} B_j)
+     — c independent masked tree sums, replacing the reference's inherently
+     sequential running-sum reduction (msm_nonaffine.rs:137-144), which as
+     a 255-step scan of single-point adds dominated the round-2 MSM
+     wall-time (~30 s of the 36 s at 2^20);
   4. device: Horner window ladder S = 2^c * S + S_w.
+
+On TPU the whole pipeline runs in **stacked-coordinate-row transposed
+layout** ``uint32[3*n_limbs, M]`` with every point addition a single fused
+Pallas kernel (ops/pallas/curve_kernels.py) — zero relayouts between tree
+levels.  The natural-layout jnp path remains as the CPU/fallback twin and
+the bit-exactness reference.
 
 Works for arbitrary projective bases (the reference's msm_nonaffine
 generalization comes for free from complete formulas).
@@ -20,6 +28,7 @@ generalization comes for free from complete formulas).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +51,10 @@ def _curve_ops(curve: str):
     from ..curve import bandersnatch as bs
 
     return bs.te_add, bs.te_double, bs.te_neutral
+
+
+def _curve_spec(curve: str):
+    return FQ if curve == "g1" else FR
 
 
 def scalars_to_digit_matrix(scalars_std_limbs: np.ndarray, c: int, n_bits: int) -> np.ndarray:
@@ -87,22 +100,40 @@ def bucket_index_grid(
     return grid, capacity
 
 
+def _bit_masks(c: int, n_buckets: int) -> np.ndarray:
+    """bool[c, n_buckets]: mask[b, j] = bit b of bucket index j."""
+    j = np.arange(n_buckets)
+    return ((j[None, :] >> np.arange(c)[:, None]) & 1).astype(bool)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _bucket_combine_weighted(buckets: jnp.ndarray, c: int, curve: str = "g1") -> jnp.ndarray:
-    """(n_buckets, 3, L) bucket sums -> sum_j j * B_j via the running-sum
-    identity sum_j j*B_j = sum_k sum_{j>=k} B_j as a lax.scan (graph stays
-    O(1) adds; msm_nonaffine.rs:137-144)."""
-    add, _dbl, neutral = _curve_ops(curve)
-
-    def step(carry, bj):
-        running, total = carry
-        running = add(running, bj)
-        total = add(total, running)
-        return (running, total), None
-
-    xs = buckets[1:][::-1]  # j = n_buckets-1 .. 1
-    (_, total), _ = jax.lax.scan(step, (neutral(), neutral()), xs)
-    return total
+    """(n_buckets, 3, L) bucket sums -> sum_j j * B_j via the bit-masked
+    parallel identity: c masked copies, one log-depth batched tree sum per
+    bit, then a c-step doubling ladder.  Replaces the 2*(2^c-1)-step
+    sequential running-sum scan (msm_nonaffine.rs:137-144) with O(c + log
+    n_buckets) batched steps."""
+    add, dbl, neutral = _curve_ops(curve)
+    n_buckets = buckets.shape[0]
+    mask = jnp.asarray(_bit_masks(c, n_buckets))  # (c, n_buckets)
+    neut = neutral((1, 1))
+    # (c, n_buckets, 3, L) masked copies
+    x = jnp.where(mask[..., None, None], buckets[None], neut)
+    # tree over the bucket axis (contiguous halves)
+    m = n_buckets
+    while m > 1:
+        if m % 2:
+            x = jnp.concatenate([x, neutral((c, 1))], axis=1)
+            m += 1
+        h = m // 2
+        x = add(x[:, :h], x[:, h:m])
+        m = h
+    t = x[:, 0]  # (c, 3, L): per-bit sums
+    acc = t[c - 1]
+    for b in range(c - 2, -1, -1):
+        acc = dbl(acc)
+        acc = add(acc, t[b])
+    return acc
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -110,7 +141,7 @@ def _bucket_reduce_and_combine(grid_points: jnp.ndarray, c: int, curve: str = "g
     """(n_buckets, capacity, 3, L) points -> window sum  sum_j j * B_j.
 
     Capacity tree-reduction is ~log2(capacity) batched adds (odd levels pad
-    one neutral column), then the weighted running-sum combination."""
+    one neutral column), then the weighted bit-masked combination."""
     add, _dbl, neutral = _curve_ops(curve)
     pts = grid_points
     while pts.shape[1] > 1:
@@ -136,6 +167,93 @@ def _window_ladder(window_sums: jnp.ndarray, c: int, curve: str = "g1") -> jnp.n
     rest = window_sums[:-1][::-1]
     acc, _ = jax.lax.scan(step, acc, rest)
     return acc
+
+
+# -----------------------------------------------------------------------------
+# fused-kernel transposed pipeline (TPU fast path)
+# -----------------------------------------------------------------------------
+
+def _msm_rows_t(
+    pts_ext: jnp.ndarray,
+    digits: np.ndarray,
+    c: int,
+    capacity: int,
+    curve: str,
+) -> jnp.ndarray:
+    """MSM with every point op a fused Pallas kernel on stacked-row points.
+
+    pts_ext: (N+1, 3, L) device points, slot N = neutral pad.
+    Layouts: tree phase is capacity-major ``(ci, bucket)`` on lanes so each
+    halving level is a contiguous-slice add; combine phase is bucket-major
+    ``(bucket, bit, window)`` so the bucket tree is again contiguous.
+    """
+    from ...ops.pallas import curve_kernels as ck
+
+    spec = _curve_spec(curve)
+    n_windows = digits.shape[0]
+    n_buckets = 1 << c
+    n = pts_ext.shape[0] - 1
+
+    pts_t = ck.to_rows_t(pts_ext)  # (3L, N+1)
+
+    window_buckets = []  # each (3L, n_buckets)
+    for w in range(n_windows):
+        grid, _cap = bucket_index_grid(digits[w], n_buckets, n, capacity)
+        # capacity-major flattening: lane index = ci*n_buckets + bucket
+        idx = jnp.asarray(grid.T.reshape(-1), dtype=jnp.int32)
+        x = _tree_levels_t(spec, pts_t, idx, n_buckets, capacity, curve)
+        window_buckets.append(x)
+
+    return _combine_windows_t(spec, window_buckets, c, curve)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_buckets", "capacity", "curve"))
+def _tree_levels_t(spec, pts_t, idx, n_buckets: int, capacity: int, curve: str):
+    """Gather + grid-sequential fold on capacity-major lanes -> (3L, n_buckets).
+
+    The fold kernel (curve_kernels.fold_t) keeps the bucket accumulator
+    resident in VMEM across the whole capacity axis: one Mosaic compile per
+    MSM size, instead of one per halving-tree level width."""
+    from ...ops.pallas import curve_kernels as ck
+
+    x = jnp.take(pts_t, idx, axis=1)  # (3L, capacity*n_buckets)
+    return ck.fold_t(spec, x, n_buckets, curve)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "c", "curve"))
+def _combine_windows_t(spec, window_buckets, c: int, curve: str):
+    """Bit-masked weighted combine + window Horner ladder, all fused kernels.
+
+    window_buckets: list of (3L, n_buckets), window-minor stacking.
+    Returns a natural-layout (3, L) point.
+    """
+    from ...ops.pallas import curve_kernels as ck
+
+    n_windows = len(window_buckets)
+    n_buckets = window_buckets[0].shape[1]
+    rows = window_buckets[0].shape[0]
+    # (3L, n_buckets, n_windows): bucket-major, window minor
+    stack = jnp.stack(window_buckets, axis=2)
+    # broadcast over bits: (3L, n_buckets, c, n_windows)
+    mask = _bit_masks(c, n_buckets)  # (c, n_buckets)
+    mask_b = jnp.asarray(mask.T[None, :, :, None])  # (1, n_buckets, c, 1)
+    neut_col = ck.neutral_rows_t(spec, 1, curve)[:, 0][:, None, None, None]
+    x = jnp.where(mask_b, stack[:, :, None, :], neut_col)
+    K = c * n_windows
+    x = x.reshape(rows, n_buckets * K)  # bucket-major lanes (chunk = bucket)
+    t = ck.fold_t(spec, x, K, curve).reshape(rows, c, n_windows)
+    # bit ladder: S_w = sum_b 2^b T[b, w]  (batched over windows)
+    acc = t[:, c - 1, :]
+    for b in range(c - 2, -1, -1):
+        acc = ck.double_t(spec, acc, curve)
+        acc = ck.add_t(spec, acc, t[:, b, :], curve)
+    # window Horner ladder on a single lane
+    s = acc[:, n_windows - 1 : n_windows]
+    for w in range(n_windows - 2, -1, -1):
+        for _ in range(c):
+            s = ck.double_t(spec, s, curve)
+        s = ck.add_t(spec, s, acc[:, w : w + 1], curve)
+    return ck.from_rows_t(s)[0]
 
 
 def msm_device(
@@ -170,6 +288,12 @@ def msm_device(
         1, int(max(np.bincount(digits[w], minlength=1 << c).max() for w in range(n_windows)))
     )
     capacity = grid_capacity(max_c)
+
+    from ..pallas import curve_kernels as ck
+
+    if ck.should_use():
+        return _msm_rows_t(pts_ext, digits, c, capacity, curve)
+
     sums = []
     for w in range(n_windows):
         grid, _cap = bucket_index_grid(digits[w], 1 << c, n, capacity)
@@ -177,6 +301,213 @@ def msm_device(
         sums.append(_bucket_reduce_and_combine(grid_points, c, curve))
     window_sums = jnp.stack(sums)
     return _window_ladder(window_sums, c, curve)
+
+
+# -----------------------------------------------------------------------------
+# packed-affine fast path (host torch gather + mixed-add device fold)
+# -----------------------------------------------------------------------------
+
+class PackedAffineBases:
+    """Host-packed affine G1 bases for the gather-on-host TPU fast path.
+
+    Device-side gathers are per-index DMA-bound on TPU (~5 us/row — a 2^20
+    grid would take minutes), so the bucket permutation happens on HOST with
+    a multithreaded torch index_select over a bit-packed (N+1, 25)-u32 table:
+    12 packed-X rows (limb r | limb r+12 << 16), 12 packed-Y, one validity
+    word.  Slot N is the pad target (validity 0).  ~100 MB upload per 2^20
+    window at 25 u32/point vs 72 for unpacked projective.
+    """
+
+    ROWS = FQ.n_limbs + 1  # 2*(n_limbs/2) packed coord rows + validity
+
+    def __init__(self, points_affine: Sequence):
+        n = len(points_affine)
+        h = FQ.n_limbs // 2
+        xs = fl.encode_ints(FQ, [p[0] if p else 0 for p in points_affine])
+        ys = fl.encode_ints(FQ, [p[1] if p else 1 for p in points_affine])
+        arr = np.zeros((n + 1, 2 * h + 1), np.uint32)
+        arr[:n, 0:h] = xs[:, :h] | (xs[:, h:] << np.uint32(16))
+        arr[:n, h : 2 * h] = ys[:, :h] | (ys[:, h:] << np.uint32(16))
+        arr[:n, 2 * h] = np.asarray(
+            [0 if p is None else 1 for p in points_affine], np.uint32
+        )
+        self.n = n
+        self._np = arr
+        try:
+            import torch
+
+            self._torch = torch.from_numpy(arr.view(np.int32))
+        except Exception:  # torch unavailable -> numpy fallback
+            self._torch = None
+
+    @classmethod
+    def from_device_proj(cls, pts_dev: jnp.ndarray) -> "PackedAffineBases":
+        """Batch-normalize device projective points -> packed host table.
+
+        One device Fermat inverse (z^(p-2) via pow_const) + two muls for the
+        whole batch, then a single D2H pull of the Montgomery limb arrays —
+        avoids the per-point host normalize_proj (a bigint inverse per point,
+        ~minutes at 2^20)."""
+        xa, ya, valid = _normalize_proj_dev(pts_dev)
+        h = FQ.n_limbs // 2
+        xa_np, ya_np = np.asarray(xa), np.asarray(ya)
+        vnp = np.asarray(valid)
+        n = xa_np.shape[0]
+        obj = cls.__new__(cls)
+        arr = np.zeros((n + 1, 2 * h + 1), np.uint32)
+        arr[:n, 0:h] = xa_np[:, :h] | (xa_np[:, h:] << np.uint32(16))
+        arr[:n, h : 2 * h] = ya_np[:, :h] | (ya_np[:, h:] << np.uint32(16))
+        arr[:n, 2 * h] = vnp.astype(np.uint32)
+        # identity rows must unpack to (0:1:0) on the fallback path
+        one_packed = np.asarray(FQ.one_mont[:h], np.uint32) | (
+            np.asarray(FQ.one_mont[h:], np.uint32) << np.uint32(16)
+        )
+        arr[:n][~vnp, h : 2 * h] = one_packed
+        obj.n = n
+        obj._np = arr
+        try:
+            import torch
+
+            obj._torch = torch.from_numpy(arr.view(np.int32))
+        except Exception:
+            obj._torch = None
+        return obj
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        """Row-gather (M, 25) u32 for a flat index vector (multithreaded)."""
+        if self._torch is not None:
+            import torch
+
+            out = torch.index_select(self._torch, 0, torch.from_numpy(idx))
+            return out.numpy().view(np.uint32)
+        return self._np[idx]
+
+
+_NORM_CHUNK = 1 << 16  # fixed chunk: one compiled tree, reused at any N
+
+
+@jax.jit
+def _normalize_chunk(pts: jnp.ndarray):
+    """(m, 3, L) projective -> (x/z, y/z) mont limbs + validity (z=0 rows
+    flagged invalid; their outputs are don't-care).  Inverse via the
+    log-depth batch_inverse product tree (~3 muls/element), not the 380-mul
+    Fermat ladder — the unrolled pow graph is uncompilable at 2^20."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    zero = fl.is_zero(FQ, z)
+    ones = fl.ones_mont(FQ, z.shape[:-1])
+    zi = fl.batch_inverse(FQ, fl.select(zero, ones, z))
+    xa = fl.mul(FQ, x, zi)
+    ya = fl.mul(FQ, y, zi)
+    return xa, ya, jnp.logical_not(zero)
+
+
+def _normalize_proj_dev(pts_dev: jnp.ndarray):
+    """(N, 3, L) projective -> host (x/z, y/z) mont limb arrays + validity."""
+    n = pts_dev.shape[0]
+    chunk = min(_NORM_CHUNK, max(2, 1 << (n - 1).bit_length()))
+    xs, ys, vs = [], [], []
+    for i in range(0, n, chunk):
+        part = pts_dev[i : i + chunk]
+        if part.shape[0] < chunk:  # pad to the compiled shape
+            pad = jnp.tile(g1.g1_neutral((1,)), (chunk - part.shape[0], 1, 1))
+            part = jnp.concatenate([part, pad], axis=0)
+        xa, ya, valid = _normalize_chunk(part)
+        xs.append(np.asarray(xa))
+        ys.append(np.asarray(ya))
+        vs.append(np.asarray(valid))
+    m = slice(0, n)
+    return (
+        np.concatenate(xs)[m],
+        np.concatenate(ys)[m],
+        np.concatenate(vs)[m],
+    )
+
+
+def _unpack_to_proj(packed: np.ndarray) -> np.ndarray:
+    """(N, 25) packed-affine u32 -> (N, 3, L) Montgomery projective numpy."""
+    h = FQ.n_limbs // 2
+    n = packed.shape[0]
+    out = np.zeros((n, 3, FQ.n_limbs), np.uint32)
+    out[:, 0, :h] = packed[:, 0:h] & 0xFFFF
+    out[:, 0, h:] = packed[:, 0:h] >> 16
+    out[:, 1, :h] = packed[:, h : 2 * h] & 0xFFFF
+    out[:, 1, h:] = packed[:, h : 2 * h] >> 16
+    valid = packed[:, 2 * h] != 0
+    one = np.asarray(FQ.one_mont, np.uint32)
+    out[valid, 2, :] = one  # Z=1 for real points
+    out[~valid, 1, :] = one  # identity (0:1:0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _transpose_dev(spec, arr: jnp.ndarray) -> jnp.ndarray:
+    return arr.T
+
+
+def msm_packed(
+    bases: PackedAffineBases,
+    scalars_std_limbs: np.ndarray,
+    c: int = DEFAULT_C,
+    n_bits: int | None = None,
+) -> jnp.ndarray:
+    """MSM over host-packed affine bases -> device projective point (3, L).
+
+    Host pipeline per window: digit bucket-sort (numpy) -> torch row gather
+    in capacity-major order -> upload; device: one fold_affine_t kernel
+    (mixed adds, bucket accumulator resident in VMEM).  Host prep of window
+    w+1 overlaps the device fold of window w (async dispatch).
+    """
+    from ..pallas import curve_kernels as ck
+
+    if n_bits is None:
+        n_bits = FR.bits
+    n = scalars_std_limbs.shape[0]  # may be a prefix of a larger SRS table
+    assert n <= bases.n
+    if not ck.should_use():  # CPU/fallback: unpack to projective, generic path
+        return msm_device(
+            jnp.asarray(_unpack_to_proj(bases._np[:n])), scalars_std_limbs, c, n_bits
+        )
+    sentinel = bases.n  # the table's dedicated pad row (validity 0)
+    digits = scalars_to_digit_matrix(scalars_std_limbs, c, n_bits)
+    n_windows = digits.shape[0]
+    n_buckets = 1 << c
+    max_c = max(
+        1,
+        int(max(np.bincount(digits[w], minlength=n_buckets).max() for w in range(n_windows))),
+    )
+    capacity = grid_capacity(max_c)
+
+    import time as _time
+
+    trace = os.environ.get("GKR_MSM_TRACE_MSM") == "1"
+    tick = _time.perf_counter
+    t_sort = t_gather = t_up = 0.0
+    spec = _curve_spec("g1")
+    window_buckets = []
+    for w in range(n_windows):
+        t0 = tick()
+        grid, _cap = bucket_index_grid(digits[w], n_buckets, sentinel, capacity)
+        idx = grid.T.reshape(-1)  # capacity-major (chunk = slot, lane = bucket)
+        t1 = tick()
+        g = bases.gather(idx)  # (M, 25) host
+        t2 = tick()
+        packed_t = _transpose_dev(spec, jnp.asarray(g))  # (25, M) device
+        t3 = tick()
+        t_sort += t1 - t0
+        t_gather += t2 - t1
+        t_up += t3 - t2
+        window_buckets.append(ck.fold_affine_t(spec, packed_t, n_buckets))
+    t0 = tick()
+    out = _combine_windows_t(spec, window_buckets, c, "g1")
+    if trace:
+        jax.block_until_ready(out)
+        print(
+            f"[msm_packed 2^{int(np.log2(max(n,2)))}] capacity={capacity} "
+            f"sort={t_sort:.2f}s gather={t_gather:.2f}s upload+dispatch={t_up:.2f}s "
+            f"fold+combine(tail)={tick()-t0:.2f}s",
+            flush=True,
+        )
+    return out
 
 
 # -----------------------------------------------------------------------------

@@ -152,3 +152,46 @@ def test_fixed_base_batch_chunked(rng, monkeypatch):
     got = bs.decode_proj_points(sliced)
     expect = bs.decode_proj_points(full)
     assert got == expect
+
+
+def test_packed_affine_bases_roundtrip(rng):
+    """Pack -> unpack roundtrip preserves points (incl identity slots)."""
+    pts = [g1.Host.random_point(rng) for _ in range(5)] + [None]
+    bases = msm.PackedAffineBases(pts)
+    proj = msm._unpack_to_proj(bases._np)
+    got = g1.decode_proj(proj[:-1])
+    assert got == pts
+    assert g1.decode_proj(proj[-1:]) == [None]  # pad slot is identity
+
+
+def test_msm_packed_matches_host(rng):
+    """Packed-affine MSM (fast path on TPU, unpack fallback elsewhere)."""
+    n = 24
+    pts = [g1.Host.random_point(rng) for _ in range(n)]
+    pts[5] = None  # identity base is handled via the validity word
+    scalars = [rng.randrange(1 << 64) for _ in range(n)]
+    bases = msm.PackedAffineBases(pts)
+    out = msm.msm_packed(bases, msm.scalars_ints_to_limbs(scalars), n_bits=64)
+    got = g1.decode_proj(np.asarray(out)[None])[0]
+    assert got == g1.Host.msm(scalars, pts)
+
+
+def test_msm_packed_prefix(rng):
+    """A scalar vector shorter than the packed table uses the table prefix
+    (KZG commits slice the SRS; the pad sentinel must stay the table's own
+    pad row, not a live point)."""
+    pts = [g1.Host.random_point(rng) for _ in range(16)]
+    bases = msm.PackedAffineBases(pts)
+    scalars = [rng.randrange(1 << 32) for _ in range(9)]
+    out = msm.msm_packed(bases, msm.scalars_ints_to_limbs(scalars), n_bits=32)
+    got = g1.decode_proj(np.asarray(out)[None])[0]
+    assert got == g1.Host.msm(scalars, pts[:9])
+
+
+def test_packed_bases_from_device_proj(rng):
+    """Device batch-normalization constructor == host-affine constructor."""
+    pts = [g1.Host.random_point(rng) for _ in range(6)] + [None]
+    dev = msm.encode_points_device(pts)
+    a = msm.PackedAffineBases(pts)
+    b = msm.PackedAffineBases.from_device_proj(dev)
+    assert np.array_equal(a._np, b._np)
