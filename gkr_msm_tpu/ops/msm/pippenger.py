@@ -70,14 +70,25 @@ def scalars_to_digit_matrix(scalars_std_limbs: np.ndarray, c: int, n_bits: int) 
     return np.stack(digs)
 
 
-def grid_capacity(max_c: int) -> int:
-    """Physical bucket capacity for a worst-case load: TIGHT (next multiple
-    of 8), not the next power of two — bucket loads are multinomial, so the
-    worst bucket sits only ~3 sigma above N/2^c and a pow2 roundup wastes up
-    to 2x of the dominant tree-reduce work.  The reduce loop pads odd levels
-    with one neutral column instead (msm_nonaffine.rs sizes buckets exactly
-    per window; this is the vectorized equivalent)."""
-    return max(2, ((max_c + 7) // 8) * 8)
+def grid_capacity(max_c: int, quantum: int = 8) -> int:
+    """Physical bucket capacity for a worst-case load: next multiple of
+    `quantum`, not the next power of two — bucket loads are multinomial, so
+    the worst bucket sits only ~3 sigma above N/2^c and a pow2 roundup
+    wastes up to 2x of the dominant fold work (msm_nonaffine.rs sizes
+    buckets exactly per window; this is the vectorized equivalent).
+
+    The fused TPU path passes quantum=256: capacity feeds the fold kernel's
+    grid size, and each distinct grid is a fresh ~60 s Mosaic compile —
+    coarse quantization keeps the compiled-program cache stable across runs
+    (max-load jitter between seeds is well under 256) for <=6% extra fold
+    work at 2^20 and a bounded ~30 ms absolute overhead at small N."""
+    return max(2, ((max_c + quantum - 1) // quantum) * quantum)
+
+
+def _stable_argsort(digits: np.ndarray) -> np.ndarray:
+    """Stable argsort of small-int keys (np radix path: ~0.07 s at 2^20 —
+    measured faster than torch's multithreaded sort for uint8-range keys)."""
+    return np.argsort(digits, kind="stable")
 
 
 def bucket_index_grid(
@@ -86,7 +97,7 @@ def bucket_index_grid(
     """Stable-sort points by digit -> (n_buckets, capacity) index grid;
     empty slots hold `sentinel` (index of a neutral pad point)."""
     n = digits.shape[0]
-    order = np.argsort(digits, kind="stable")
+    order = _stable_argsort(digits)
     sorted_d = digits[order]
     starts = np.searchsorted(sorted_d, np.arange(n_buckets))
     rank = np.arange(n) - starts[sorted_d]
@@ -222,9 +233,14 @@ def _tree_levels_t(spec, pts_t, idx, n_buckets: int, capacity: int, curve: str):
 
 @functools.partial(jax.jit, static_argnames=("spec", "c", "curve"))
 def _combine_windows_t(spec, window_buckets, c: int, curve: str):
-    """Bit-masked weighted combine + window Horner ladder, all fused kernels.
+    """Bit-masked weighted combine in global-bit layout, two fused kernels.
 
-    window_buckets: list of (3L, n_buckets), window-minor stacking.
+    window_buckets: list of (3L, n_buckets) per-window bucket sums.
+    MSM total = sum_{w,j} j*2^(cw) * B[w,j] = sum_g 2^g U_g with
+    U_g = sum of buckets whose weight has scalar-bit g set (g = c*w + b).
+    One fold over buckets produces all U_g lanes at once; one ladder kernel
+    (G-1 masked doublings + log-depth roll reduce) finishes the sum —
+    replacing the former ~150-dispatch double/add chain.
     Returns a natural-layout (3, L) point.
     """
     from ...ops.pallas import curve_kernels as ck
@@ -232,28 +248,17 @@ def _combine_windows_t(spec, window_buckets, c: int, curve: str):
     n_windows = len(window_buckets)
     n_buckets = window_buckets[0].shape[1]
     rows = window_buckets[0].shape[0]
-    # (3L, n_buckets, n_windows): bucket-major, window minor
+    # (3L, n_buckets, n_windows): bucket chunk-major, window minor
     stack = jnp.stack(window_buckets, axis=2)
-    # broadcast over bits: (3L, n_buckets, c, n_windows)
-    mask = _bit_masks(c, n_buckets)  # (c, n_buckets)
-    mask_b = jnp.asarray(mask.T[None, :, :, None])  # (1, n_buckets, c, 1)
+    mask = _bit_masks(c, n_buckets)  # (c, n_buckets): bit b of bucket j
+    # lane layout g = c*w + b -> (n_buckets, n_windows, c)
+    mask_b = jnp.asarray(mask.T[None, :, None, :])  # (1, n_buckets, 1, c)
     neut_col = ck.neutral_rows_t(spec, 1, curve)[:, 0][:, None, None, None]
-    x = jnp.where(mask_b, stack[:, :, None, :], neut_col)
-    K = c * n_windows
-    x = x.reshape(rows, n_buckets * K)  # bucket-major lanes (chunk = bucket)
-    t = ck.fold_t(spec, x, K, curve).reshape(rows, c, n_windows)
-    # bit ladder: S_w = sum_b 2^b T[b, w]  (batched over windows)
-    acc = t[:, c - 1, :]
-    for b in range(c - 2, -1, -1):
-        acc = ck.double_t(spec, acc, curve)
-        acc = ck.add_t(spec, acc, t[:, b, :], curve)
-    # window Horner ladder on a single lane
-    s = acc[:, n_windows - 1 : n_windows]
-    for w in range(n_windows - 2, -1, -1):
-        for _ in range(c):
-            s = ck.double_t(spec, s, curve)
-        s = ck.add_t(spec, s, acc[:, w : w + 1], curve)
-    return ck.from_rows_t(s)[0]
+    x = jnp.where(mask_b, stack[:, :, :, None], neut_col)
+    G = c * n_windows
+    x = x.reshape(rows, n_buckets * G)  # chunk = bucket, lane g = c*w + b
+    t_g = ck.fold_t(spec, x, G, curve)  # (3L, G) per-global-bit sums
+    return ck.ladder_t(spec, t_g, curve)
 
 
 def msm_device(
@@ -287,12 +292,11 @@ def msm_device(
     max_c = max(
         1, int(max(np.bincount(digits[w], minlength=1 << c).max() for w in range(n_windows)))
     )
-    capacity = grid_capacity(max_c)
-
     from ..pallas import curve_kernels as ck
 
     if ck.should_use():
-        return _msm_rows_t(pts_ext, digits, c, capacity, curve)
+        return _msm_rows_t(pts_ext, digits, c, grid_capacity(max_c, 256), curve)
+    capacity = grid_capacity(max_c)
 
     sums = []
     for w in range(n_windows):
@@ -475,7 +479,7 @@ def msm_packed(
         1,
         int(max(np.bincount(digits[w], minlength=n_buckets).max() for w in range(n_windows))),
     )
-    capacity = grid_capacity(max_c)
+    capacity = grid_capacity(max_c, 256)  # cache-stable fold grid
 
     import time as _time
 
@@ -520,8 +524,15 @@ def encode_points_device(points_affine: Sequence) -> jnp.ndarray:
 
 
 def scalars_ints_to_limbs(scalars: Sequence[int]) -> np.ndarray:
-    """Python ints -> standard-form uint32[N, n_limbs] (numpy)."""
-    return fl.encode_ints(FR, [s % FR.modulus for s in scalars], mont=False)
+    """Python ints -> standard-form uint32[N, n_limbs] (numpy).
+
+    Vectorized via a single bytes buffer (int.to_bytes is C-speed; the old
+    per-int per-limb Python loop was ~60 s at 2^20)."""
+    mod = FR.modulus
+    nbytes = 2 * FR.n_limbs
+    buf = b"".join((s % mod).to_bytes(nbytes, "little") for s in scalars)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(scalars), FR.n_limbs)
+    return u16.astype(np.uint32)
 
 
 def fr_poly_to_scalar_limbs(poly_mont: jnp.ndarray) -> np.ndarray:

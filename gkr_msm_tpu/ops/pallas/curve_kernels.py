@@ -303,6 +303,70 @@ def double_t(spec: FieldSpec, a_t: jnp.ndarray, curve: str = "g1") -> jnp.ndarra
     return out[:, :M]
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "curve", "interpret"))
+def _ladder_call(spec: FieldSpec, curve: str, t_g: jnp.ndarray, interpret: bool):
+    """Weighted lane sum  S = sum_g 2^g * T[:, g]  in ONE kernel.
+
+    t_g: (3n, G) per-global-bit bucket sums (lane g carries the masked sum
+    of all Pippenger buckets whose weight has scalar-bit g set; pad lanes
+    must hold NEUTRAL points).  Output: (3n, G) with S replicated across
+    lanes (read lane 0).
+
+    Replaces the bit ladder + window Horner chain (~150 separate kernel
+    dispatches for c=8 / 16 windows, ruinous through the tunneled device)
+    with G-1 masked in-VMEM doublings (lane g ends up doubled g times) and
+    a log2(G) circular-shift add-reduce.
+    """
+    rows = _rows(spec)
+    G = t_g.shape[1]
+    add_ops, double_ops = _formula(curve)
+
+    def kernel(t_ref, o_ref):
+        o = TOps(spec)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+        def body(i, acc):
+            d = double_ops(o, acc)
+            keep = lane >= i
+            return tuple(jnp.where(keep, dv, av) for dv, av in zip(d, acc))
+
+        acc = jax.lax.fori_loop(
+            1, G, body, _coords(spec, t_ref[:])
+        )
+        sh = G // 2
+        while sh >= 1:
+            rolled = tuple(pltpu.roll(v, G - sh, 1) for v in acc)
+            acc = add_ops(o, acc, rolled)
+            sh //= 2
+        o_ref[:] = jnp.concatenate(list(acc), axis=0)
+
+    bs_ = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, G), jnp.uint32),
+        in_specs=[bs_],
+        out_specs=bs_,
+        interpret=interpret,
+    )(t_g)
+
+
+def ladder_t(spec: FieldSpec, t_g: jnp.ndarray, curve: str = "g1") -> jnp.ndarray:
+    """S = sum_g 2^g T[:, g] -> natural-layout point (3, n_limbs).
+
+    Pads to a power-of-two >=128 lane count with neutral points (zero-lane
+    padding would be absorbing under the complete formulas)."""
+    rows, G = t_g.shape
+    g_pad = 1 << max(0, (G - 1)).bit_length()
+    if not _INTERPRET:
+        g_pad = max(128, g_pad)
+    if g_pad != G:
+        t_g = jnp.concatenate(
+            [t_g, neutral_rows_t(spec, g_pad - G, curve)], axis=1
+        )
+    out = _ladder_call(spec, curve, t_g, _INTERPRET)
+    return from_rows_t(out[:, 0:1])[0]
+
+
 # -----------------------------------------------------------------------------
 # layout converters (natural (M, 3, n) <-> stacked rows (3n, M))
 # -----------------------------------------------------------------------------
