@@ -195,3 +195,88 @@ def test_packed_bases_from_device_proj(rng):
     a = msm.PackedAffineBases(pts)
     b = msm.PackedAffineBases.from_device_proj(dev)
     assert np.array_equal(a._np, b._np)
+
+
+def test_signed_digit_recoding(rng):
+    """Signed base-2^c recoding recomposes to the scalar (make_digits,
+    msm_nonaffine.rs:275-314) for window sizes that need not divide 16."""
+    for c in (4, 8, 9, 12):
+        for n_bits in (16, 128):
+            scalars = [rng.randrange(1 << n_bits) for _ in range(20)] + [
+                0, 1, (1 << n_bits) - 1
+            ]
+            limbs = msm.scalars_ints_to_limbs(scalars)
+            ab, ng = msm.scalars_to_signed_digits(limbs, c, n_bits)
+            half = 1 << (c - 1)
+            assert int(ab.max()) <= half
+            for i, s in enumerate(scalars):
+                digs = [
+                    int(ab[w, i]) * (-1 if ng[w, i] else 1)
+                    for w in range(ab.shape[0])
+                ]
+                assert all(-half <= d <= half - 1 for d in digs)
+                assert sum(d << (c * w) for w, d in enumerate(digs)) == s
+
+
+def test_msm_device_signed_matches_unsigned(rng):
+    """Signed-digit MSM == unsigned MSM == host model (G1)."""
+    n = 24
+    pts = [g1.Host.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(1 << 32) for _ in range(n)]
+    dev = msm.encode_points_device(pts)
+    limbs = msm.scalars_ints_to_limbs(scalars)
+    expected = g1.Host.msm(scalars, pts)
+    for c in (4, 8):
+        out = msm.msm_device(dev, limbs, c=c, n_bits=32, signed=True)
+        got = g1.decode_proj(np.asarray(out)[None])[0]
+        assert got == expected, f"c={c}"
+
+
+def test_msm_device_signed_te(rng):
+    """Signed path on the twisted-Edwards curve (negation = -x)."""
+    import jax.numpy as jnp
+
+    from gkr_msm_tpu.ops.curve import bandersnatch as bs
+    from gkr_msm_tpu.ops.field import limbs as fl
+    from gkr_msm_tpu.ops.field.spec import FR
+
+    n = 16
+    pts = [bs.Host.random_point(rng) for _ in range(n)]
+    scalars = [rng.randrange(1 << 16) for _ in range(n)]
+    dev = jnp.asarray(bs.encode_affine_to_proj(pts))
+    out = msm.msm_device(
+        dev, msm.scalars_ints_to_limbs(scalars), n_bits=16, curve="te", signed=True
+    )
+    xyz = fl.decode_ints(FR, np.asarray(out))
+    got = bs.Host.normalize_proj(tuple(xyz)) if xyz[2] != 0 else bs.Host.neutral()
+    assert got == bs.Host.msm(scalars, pts)
+
+
+def test_msm_packed_signed(rng):
+    """Signed packed-affine MSM (negated-Y table half) matches the host
+    model, including identity bases and table-prefix scalars."""
+    pts = [g1.Host.random_point(rng) for _ in range(16)]
+    pts[3] = None
+    bases = msm.PackedAffineBases(pts)
+    scalars = [rng.randrange(1 << 32) for _ in range(11)]
+    out = msm.msm_packed(
+        bases, msm.scalars_ints_to_limbs(scalars), n_bits=32, signed=True
+    )
+    got = g1.decode_proj(np.asarray(out)[None])[0]
+    assert got == g1.Host.msm(scalars, pts[:11])
+
+
+def test_neg_packed_coords(rng):
+    """Packed-coordinate negation: p - y limbwise, 0 stays 0."""
+    from gkr_msm_tpu.ops.field import limbs as fl
+    from gkr_msm_tpu.ops.field.spec import FQ
+
+    vals = [rng.randrange(FQ.modulus) for _ in range(8)] + [0]
+    limbs = fl.encode_ints(FQ, vals)  # (9, 24) mont
+    h = FQ.n_limbs // 2
+    packed = limbs[:, :h] | (limbs[:, h:] << np.uint32(16))
+    negp = msm._neg_packed_coords(packed)
+    out = np.concatenate([negp & np.uint32(0xFFFF), negp >> np.uint32(16)], axis=1)
+    got = fl.decode_ints(FQ, out)
+    expect = [(FQ.modulus - v) % FQ.modulus for v in vals]
+    assert got == expect
