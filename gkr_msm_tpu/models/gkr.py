@@ -52,9 +52,26 @@ def HI(i: int) -> SplitIdx:
 # dense map / map-split witness helpers (dense.rs:115-183)
 # -----------------------------------------------------------------------------
 
+def _mesh_place_tables(polys: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Under an ambient mesh, shard the hypercube axis so witness layer maps
+    run SPMD across devices (the reference rayon-parallelizes every witness
+    map, dense.rs:141-184; elementwise maps need no collectives — XLA just
+    executes each shard locally)."""
+    from ..parallel import context as _pctx
+
+    polys = list(polys)
+    mesh = _pctx.get_mesh()
+    if mesh is None or not _pctx.shardable(int(polys[0].shape[0]), mesh):
+        return polys
+    from ..parallel.sharded import shard_table
+
+    return [shard_table(mesh, p) for p in polys]
+
+
 def algfn_map(polys: Sequence[jnp.ndarray], fn: AlgFn) -> List[jnp.ndarray]:
-    """Columnwise AlgFn application — one fused XLA computation."""
-    return apply_fn(fn, list(polys))
+    """Columnwise AlgFn application — one fused XLA computation (sharded
+    over the ambient mesh when divisible)."""
+    return apply_fn(fn, _mesh_place_tables(polys))
 
 
 def split_poly(poly: jnp.ndarray, var_idx: SplitIdx) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,7 +105,7 @@ def algfn_map_split(
 ) -> List[jnp.ndarray]:
     """Apply fn, split every output at var_idx, arrange interleaved bundles:
     [l_bundle0, r_bundle0, l_bundle1, r_bundle1, ...] (dense.rs:115-139)."""
-    outs = apply_fn(fn, list(polys))
+    outs = apply_fn(fn, _mesh_place_tables(polys))
     ls, rs = zip(*(split_poly(o, var_idx) for o in outs))
     result: List[jnp.ndarray] = []
     for b in range(0, len(outs), bundle_size):

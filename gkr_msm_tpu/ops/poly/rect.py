@@ -138,10 +138,24 @@ def _exec_pads(spec: FieldSpec, fn: AlgFn, pads: Sequence[int]) -> List[int]:
 
 
 def rect_map(polys: Sequence[RectPoly], fn: AlgFn) -> List[RectPoly]:
-    """Elementwise AlgFn over rect polys (vecvec.rs:480-540 vecvec_map)."""
+    """Elementwise AlgFn over rect polys (vecvec.rs:480-540 vecvec_map).
+
+    Under an ambient mesh the bucket-row axis is sharded so the map runs
+    SPMD (the reference's per-row rayon parallelism, vecvec.rs:514-529);
+    elementwise maps need no collectives."""
     polys = list(polys)[: fn.n_ins]
     spec = polys[0].spec
-    outs = apply_fn(fn, [p.data for p in polys])
+    datas = [p.data for p in polys]
+    from ...parallel import context as _pctx
+
+    mesh = _pctx.get_mesh()
+    if mesh is not None and _pctx.shardable(
+        int(datas[0].shape[0]), mesh, min_per_device=1
+    ):
+        from ...parallel.sharded import shard_rect
+
+        datas = [shard_rect(mesh, d) for d in datas]
+    outs = apply_fn(fn, datas)
     row_pads = _exec_pads(spec, fn, [p.row_pad for p in polys])
     col_pads = _exec_pads(spec, fn, [p.col_pad for p in polys])
     return [

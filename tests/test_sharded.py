@@ -125,3 +125,71 @@ def test_sharded_pippenger_e2e_transcript_identical():
     got = verify_pippenger(tv, data.config, out, expected_msm=expected)
     tv.assert_end()
     assert got == expected
+
+
+def test_psum_field_binary_reduce(mesh, rng):
+    """_psum_field's O(log D) conditional-subtraction ladder is an exact
+    mod-p reduction of the cross-device limb sum (values chosen near p so
+    the sum spans the full [0, 8p) range)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as PSpec
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    p = FR.modulus
+    vals = [p - 1 - rng.randrange(3) for _ in range(7)] + [rng.randrange(p)]
+    arr = sharded.shard_table(mesh, mle.encode_point(FR, vals))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(PSpec(sharded.AXIS),), out_specs=PSpec()
+    )
+    def step(x):
+        return sharded._psum_field(FR, x[0], sharded.AXIS, 8)
+
+    got = fl.decode_ints(FR, np.asarray(jax.jit(step)(arr))[None])[0]
+    assert got == sum(vals) % p
+
+
+def test_witness_maps_sharded_match_local(mesh, rng):
+    """Witness layer maps under the ambient mesh (row-sharded SPMD) produce
+    bit-identical arrays to the single-device maps (VERDICT r3 task 5;
+    reference rayon parallelism vecvec.rs:514-529, dense.rs:141-184)."""
+    from gkr_msm_tpu.models.gkr import algfn_map, algfn_map_split, LO
+    from gkr_msm_tpu.ops.poly.rect import RectPoly, rect_map, rect_map_split
+    from gkr_msm_tpu.parallel import context as pctx
+
+    fn = bs.PROJ_L1
+    # dense maps: 2^7 rows over 8 devices
+    polys = [mle.random_poly(FR, rng, 7) for _ in range(fn.n_ins)]
+    ref = [np.asarray(o) for o in algfn_map(polys, fn)]
+    ref_split = [np.asarray(o) for o in algfn_map_split(polys, fn, LO(0), 3)]
+    with pctx.use_mesh(mesh):
+        got = algfn_map(polys, fn)
+        got_split = algfn_map_split(polys, fn, LO(0), 3)
+    assert all(np.array_equal(r, np.asarray(g)) for r, g in zip(ref, got))
+    assert all(
+        np.array_equal(r, np.asarray(g)) for r, g in zip(ref_split, got_split)
+    )
+
+    # rect maps: 16 bucket rows over 8 devices
+    rows = [
+        [rng.randrange(FR.modulus) for _ in range(rng.randrange(1, 8))]
+        for _ in range(13)
+    ]
+    rect = [
+        RectPoly.from_rows(FR, rows, rp, cp, row_logsize=5, col_logsize=4)
+        for rp, cp in ((0, 0), (1, 1), (1, 0), (0, 0), (1, 1), (1, 0))
+    ]
+    ref_r = [np.asarray(o.data) for o in rect_map(rect, fn)]
+    ref_rs = [np.asarray(o.data) for o in rect_map_split(rect, fn, 3)]
+    with pctx.use_mesh(mesh):
+        got_r = rect_map(rect, fn)
+        got_rs = rect_map_split(rect, fn, 3)
+    assert all(np.array_equal(r, np.asarray(g.data)) for r, g in zip(ref_r, got_r))
+    assert all(
+        np.array_equal(r, np.asarray(g.data)) for r, g in zip(ref_rs, got_rs)
+    )
