@@ -11,6 +11,9 @@ _cache_dir = _os.environ.get("GKR_MSM_JAX_CACHE")
 if _cache_dir:
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("GKR_MSM_JAX_CACHE_MIN", "0.3")),
+        )
     except Exception:  # older jax without these flags
         pass

@@ -62,6 +62,7 @@ SLOW_NODEID_PATTERNS = [
     "test_commitments.py::test_multiopen_reduction",
     "test_sumcheck.py::test_dense_deg2_sumcheck_te_l1[2]",
     "test_nno.py::test_nno_prove_verify_roundtrip[3]",
+    "test_multihost.py::test_two_process_pipeline_proofs_identical",
 ]
 
 

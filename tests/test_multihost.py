@@ -18,3 +18,18 @@ def test_two_process_proofs_identical():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multihost dryrun OK" in out.stdout
+
+
+def test_two_process_pipeline_proofs_identical():
+    """Full (tiny) Pippenger prove across 2 jax.distributed processes:
+    proof bytes must equal the single-process prover's (VERDICT r3 task 7).
+    Slow tier: the pipeline compile sweep runs twice (once per process)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_dryrun.py"),
+         "--pipeline"],
+        capture_output=True, text=True, timeout=3100, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "multihost dryrun OK" in out.stdout
