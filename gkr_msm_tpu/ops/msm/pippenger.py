@@ -42,6 +42,19 @@ from ..field.spec import FQ, FR
 DEFAULT_C = 8  # window bits; 16-bit limbs split evenly
 
 
+def auto_c(n: int) -> int:
+    """Size-adaptive window, the reference's `c = ln n + 2` policy
+    (msm_nonaffine.rs:110-114) quantized to {2, 4, 8}: unsigned digit
+    extraction needs c | 16, and every distinct c compiles its own
+    bucket-combine program — the c=8 combine graph is ~200 s of XLA:CPU
+    compile, ruinous when a tiny commit only has dozens of points."""
+    if n >= (1 << 12):
+        return 8
+    if n >= (1 << 6):
+        return 4
+    return 2
+
+
 def _curve_ops(curve: str):
     """(add, double, neutral) for a curve tag: 'g1' (BLS12-381 G1, the
     commitment curve) or 'te' (Bandersnatch twisted Edwards, the MSM-under-
@@ -124,17 +137,36 @@ def signed_window_grids(
     c*w + c-1, which the bit-masked combine leaves free — see
     _combine_windows_t).
 
+    The TOP window is special-cased when its digits are carry-only ({0, 1},
+    always the case when c divides n_bits): its bucket-1 load is ~n/2, so
+    including it in the shared grids would blow the capacity (and hence the
+    fold work of EVERY window) up to n/2 — the round-4 root cause of the
+    2^20 signed-path compile failure.  Instead its point indices come back
+    as `carry_idx`; the caller adds their plain sum with weight
+    2^(c*(W-1)) (one extra ladder lane).
+
     Returns (grids: List[int64[n_buckets, capacity]], capacity,
-             extras: int64[W, cap_e] | None) with n_buckets = 2^(c-1).
+             extras: int64[W_main, cap_e] | None, carry_idx: int64[] | None)
+    with n_buckets = 2^(c-1); W_main = W-1 when the carry window was
+    separated (carry_idx is not None), else W.
     """
     w_count = dig_abs.shape[0]
     half = 1 << (c - 1)
     n_buckets = half
     sentinel = n if sentinel is None else sentinel
     neg_offset = n + 1 if neg_offset is None else neg_offset
+    carry_idx = None
+    w_main = w_count
+    if (
+        w_count > 1
+        and int(dig_abs[w_count - 1].max(initial=0)) <= 1
+        and not dig_neg[w_count - 1].any()
+    ):
+        carry_idx = np.nonzero(dig_abs[w_count - 1] == 1)[0].astype(np.int64)
+        w_main = w_count - 1
     main_max = 1
     extra_max = 0
-    for w in range(w_count):
+    for w in range(w_main):
         counts = np.bincount(dig_abs[w], minlength=half + 1)
         main_max = max(main_max, int(counts[1:half].max()) if half > 1 else 0)
         extra_max = max(extra_max, int(counts[half]))
@@ -145,8 +177,8 @@ def signed_window_grids(
     extras = None
     if extra_max:
         cap_e = grid_capacity(extra_max, quantum)
-        extras = np.full((w_count, cap_e), sentinel, dtype=np.int64)
-    for w in range(w_count):
+        extras = np.full((w_main, cap_e), sentinel, dtype=np.int64)
+    for w in range(w_main):
         ab, ng = dig_abs[w], dig_neg[w]
         mapped = np.arange(n, dtype=np.int64) + np.int64(neg_offset) * ng
         main = (ab > 0) & (ab < half)
@@ -161,7 +193,7 @@ def signed_window_grids(
         if extras is not None:
             hm = np.nonzero(ab == half)[0]
             extras[w, : hm.size] = mapped[hm]
-    return grids, capacity, extras
+    return grids, capacity, extras, carry_idx
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -336,7 +368,8 @@ def _tree_levels_t(spec, pts_t, idx, n_buckets: int, capacity: int, curve: str):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "c", "curve"))
-def _combine_windows_t(spec, window_buckets, c: int, curve: str, extras=None):
+def _combine_windows_t(spec, window_buckets, c: int, curve: str, extras=None,
+                       carry=None):
     """Bit-masked weighted combine in global-bit layout, two fused kernels.
 
     window_buckets: list of (3L, n_buckets) per-window bucket sums.
@@ -350,6 +383,10 @@ def _combine_windows_t(spec, window_buckets, c: int, curve: str, extras=None):
     asymmetric -2^(c-1) digits per window.  With n_buckets = 2^(c-1) the
     mask never sets bit c-1, so lanes g = c*w + (c-1) fold to neutral and
     the extras point-add straight into them (one batched add).
+
+    carry (signed-digit path): optional (3L, 1) sum of the points whose
+    top (carry-only) recoding window is 1; appended as one extra ladder
+    lane at g = G, i.e. weight 2^(c*n_windows) — see signed_window_grids.
     Returns a natural-layout (3, L) point.
     """
     from ...ops.pallas import curve_kernels as ck
@@ -374,6 +411,8 @@ def _combine_windows_t(spec, window_buckets, c: int, curve: str, extras=None):
             extras
         )
         t_g = ck.add_t(spec, t_g, placed, curve)
+    if carry is not None:
+        t_g = jnp.concatenate([t_g, carry], axis=1)  # lane G: weight 2^G
     return ck.ladder_t(spec, t_g, curve)
 
 
@@ -405,9 +444,10 @@ def _msm_signed_device(
     spec = _curve_spec(curve)
     n_buckets = 1 << (c - 1)
     fused = ck.should_use()
-    grids, capacity, extras = signed_window_grids(
+    grids, capacity, extras, carry_idx = signed_window_grids(
         dig_abs, dig_neg, c, n, quantum=256 if fused else 8
     )
+    w_main = len(grids)
     if fused:
         pts_t = ck.to_rows_t(pts2)
         window_buckets = []
@@ -421,7 +461,12 @@ def _msm_signed_device(
             w_count, cap_e = extras.shape
             idx = jnp.asarray(extras.T.reshape(-1), dtype=jnp.int32)
             extra_t = _tree_levels_t(spec, pts_t, idx, w_count, cap_e, curve)
-        return _combine_windows_t(spec, window_buckets, c, curve, extra_t)
+        carry_t = None
+        if carry_idx is not None and carry_idx.size:
+            carry_t = _carry_sum_t(spec, pts_t, carry_idx, n, curve)
+        return _combine_windows_t(
+            spec, window_buckets, c, curve, extra_t, carry_t
+        )
     sums = []
     for grid in grids:
         grid_points = jnp.take(pts2, jnp.asarray(grid), axis=0)
@@ -433,13 +478,34 @@ def _msm_signed_device(
         for _ in range(c - 1):
             eacc = dbl(eacc)
         acc = add(acc, eacc)
+    if carry_idx is not None and carry_idx.size:
+        c_pts = jnp.take(pts_ext, jnp.asarray(carry_idx), axis=0)[None]
+        cacc = _tree_reduce_axis1(c_pts, curve)[0]
+        for _ in range(c * w_main):  # weight 2^(c*W_main)
+            cacc = dbl(cacc)
+        acc = add(acc, cacc)
     return acc
+
+
+def _carry_sum_t(spec, pts_t, carry_idx: np.ndarray, sentinel: int, curve: str):
+    """Plain point-sum of table rows `carry_idx` -> (3L, 1) stacked-row
+    point: one fold into 128 equal-weight lanes + one shift-add reduce."""
+    from ..pallas import curve_kernels as ck
+
+    m = carry_idx.size
+    k = max(1, (m + 127) // 128)
+    idx = np.full(k * 128, sentinel, dtype=np.int64)
+    idx[:m] = carry_idx
+    partials = _tree_levels_t(
+        spec, pts_t, jnp.asarray(idx, dtype=jnp.int32), 128, k, curve
+    )
+    return ck.sum_lanes_t(spec, partials, curve)
 
 
 def msm_device(
     points_proj: jnp.ndarray,
     scalars_std_limbs: np.ndarray,
-    c: int = DEFAULT_C,
+    c: int | None = None,
     n_bits: int | None = None,
     curve: str = "g1",
     signed: bool | None = None,
@@ -456,6 +522,8 @@ def msm_device(
     """
     n = points_proj.shape[0]
     assert scalars_std_limbs.shape[0] == n
+    if c is None:
+        c = auto_c(n)
     if n_bits is None:
         n_bits = FR.bits
     from ...parallel import context as _ctx
@@ -699,7 +767,7 @@ def _transpose_dev(spec, arr: jnp.ndarray) -> jnp.ndarray:
 def msm_packed(
     bases: PackedAffineBases,
     scalars_std_limbs: np.ndarray,
-    c: int = DEFAULT_C,
+    c: int | None = None,
     n_bits: int | None = None,
     signed: bool | None = None,
 ) -> jnp.ndarray:
@@ -721,6 +789,8 @@ def msm_packed(
     if signed is None:
         signed = os.environ.get("GKR_MSM_SIGNED", "0") == "1"
     n = scalars_std_limbs.shape[0]  # may be a prefix of a larger SRS table
+    if c is None:
+        c = auto_c(n)
     assert n <= bases.n
     if not ck.should_use():  # CPU/fallback: unpack to projective, generic path
         return msm_device(
@@ -740,7 +810,7 @@ def msm_packed(
         dig_abs, dig_neg = scalars_to_signed_digits(scalars_std_limbs, c, n_bits)
         n_buckets = 1 << (c - 1)
         t0 = tick()
-        grids, capacity, extras = signed_window_grids(
+        grids, capacity, extras, carry_idx = signed_window_grids(
             dig_abs, dig_neg, c, n, quantum=256,
             sentinel=sentinel, neg_offset=bases.n + 1,
         )
@@ -761,8 +831,19 @@ def msm_packed(
             g = bases.gather_signed(extras.T.reshape(-1))
             packed_t = _transpose_dev(spec, jnp.asarray(g))
             extra_t = ck.fold_affine_t(spec, packed_t, w_count)
+        carry_t = None
+        if carry_idx is not None and carry_idx.size:
+            m = carry_idx.size
+            k = max(1, (m + 127) // 128)
+            idx = np.full(k * 128, sentinel, dtype=np.int64)
+            idx[:m] = carry_idx  # positive table half: row i is point i
+            g = bases.gather(idx)
+            packed_t = _transpose_dev(spec, jnp.asarray(g))
+            carry_t = ck.sum_lanes_t(
+                spec, ck.fold_affine_t(spec, packed_t, 128), "g1"
+            )
         t0 = tick()
-        out = _combine_windows_t(spec, window_buckets, c, "g1", extra_t)
+        out = _combine_windows_t(spec, window_buckets, c, "g1", extra_t, carry_t)
         if trace:
             jax.block_until_ready(out)
             print(
@@ -839,7 +920,7 @@ def _from_mont_jit(poly_mont: jnp.ndarray) -> jnp.ndarray:
 
 
 def msm_host_result(
-    points_proj: jnp.ndarray, scalars_std_limbs: np.ndarray, c: int = DEFAULT_C,
+    points_proj: jnp.ndarray, scalars_std_limbs: np.ndarray, c: int | None = None,
     n_bits: int | None = None,
 ):
     """msm_device + decode to host affine tuple (or None)."""

@@ -350,6 +350,49 @@ def _ladder_call(spec: FieldSpec, curve: str, t_g: jnp.ndarray, interpret: bool)
     )(t_g)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "curve", "interpret"))
+def _sum_lanes_call(spec: FieldSpec, curve: str, x_t: jnp.ndarray, interpret: bool):
+    """Unweighted point-sum of all lanes in ONE kernel (the ladder's
+    circular-shift reduce without the doubling loop).  x_t: (3n, G), G a
+    power of two, pad lanes NEUTRAL.  Output (3n, G) with the sum
+    replicated across lanes (read lane 0)."""
+    rows = _rows(spec)
+    G = x_t.shape[1]
+    add_ops, _ = _formula(curve)
+
+    def kernel(t_ref, o_ref):
+        o = TOps(spec)
+        acc = _coords(spec, t_ref[:])
+        sh = G // 2
+        while sh >= 1:
+            rolled = tuple(pltpu.roll(v, G - sh, 1) for v in acc)
+            acc = add_ops(o, acc, rolled)
+            sh //= 2
+        o_ref[:] = jnp.concatenate(list(acc), axis=0)
+
+    bs_ = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, G), jnp.uint32),
+        in_specs=[bs_],
+        out_specs=bs_,
+        interpret=interpret,
+    )(x_t)
+
+
+def sum_lanes_t(spec: FieldSpec, x_t: jnp.ndarray, curve: str = "g1") -> jnp.ndarray:
+    """Point-sum of all lanes: (3n, G) -> (3n, 1) in one fused kernel."""
+    rows, G = x_t.shape
+    g_pad = 1 << max(0, (G - 1)).bit_length()
+    if not _INTERPRET:
+        g_pad = max(128, g_pad)
+    if g_pad != G:
+        x_t = jnp.concatenate(
+            [x_t, neutral_rows_t(spec, g_pad - G, curve)], axis=1
+        )
+    return _sum_lanes_call(spec, curve, x_t, _INTERPRET)[:, 0:1]
+
+
 def ladder_t(spec: FieldSpec, t_g: jnp.ndarray, curve: str = "g1") -> jnp.ndarray:
     """S = sum_g 2^g T[:, g] -> natural-layout point (3, n_limbs).
 

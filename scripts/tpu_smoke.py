@@ -161,9 +161,14 @@ def main() -> int:
     def _():
         n = 256
         pts = [g1.Host.random_point(rng) for _ in range(n)]
-        scalars = [rng.randrange(1 << 32) for _ in range(n)]
+        # top quarter of the range: the signed recoding's top window is
+        # carry-only with carry=1, exercising the _carry_sum_t route (the
+        # round-4 2^20 signed regression was exactly this window)
+        scalars = [(1 << 32) - 1 - rng.randrange(1 << 30) for _ in range(n)]
         dev = msm.encode_points_device(pts)
         limbs = msm.scalars_ints_to_limbs(scalars)
+        ab, ng = msm.scalars_to_signed_digits(limbs, 8, 32)
+        assert msm.signed_window_grids(ab, ng, 8, n)[3].size > 0, "need carries"
         exp = g1.Host.msm(scalars, pts)
         got = g1.decode_proj(
             np.asarray(msm.msm_device(dev, limbs, n_bits=32, signed=False))[None]

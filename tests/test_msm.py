@@ -3,8 +3,21 @@ sum (binary_msm.rs:63-96), pullback vs plain MSM (pullback.rs:85-106),
 SRS dump/load roundtrip."""
 import random
 
+import jax
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """XLA:CPU segfaults sporadically once one process holds hundreds of
+    live compiled executables; this module compiles the largest programs in
+    the suite (unrolled bucket-combine graphs, ~200 s each), so the
+    module-scoped clear in conftest is not enough — a worker running this
+    whole file crashed mid-module in round 4.  Per-test clearing keeps the
+    live-executable count at one test's worth."""
+    yield
+    jax.clear_caches()
 
 from gkr_msm_tpu.commitments import kzg as kzgm
 from gkr_msm_tpu.ops.curve import bls12381 as g1

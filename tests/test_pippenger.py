@@ -13,11 +13,25 @@ from gkr_msm_tpu.ops.curve import bandersnatch as bs
 from gkr_msm_tpu.utils.transcript import Transcript
 
 
+# Proof size is a pure function of the config (element counts per transcript
+# write are data-independent), so it doubles as a cheap proof-shape regression
+# guard (the reference prints it at its entry point, examples/pippenger.rs:115).
+# Values recorded from the round-4 run; None = not yet pinned.
+EXPECTED_PROOF_BYTES = {
+    (2, 4, 8, 1): 15616,
+    (2, 4, 10, 1): 18240,
+    (4, 6, 32, 0): None,  # pinned after the round-4 measurement run
+    (6, 12, 128, 0): None,
+}
+
+
 @pytest.mark.parametrize(
     "d_logsize,x_logsize,num_bits,clm",
     [
         (2, 4, 8, 1),   # y_size=4 (power of two), y_logsize=2
         (2, 4, 10, 1),  # y_size=5 (ragged), y_logsize=3
+        (4, 6, 32, 0),  # raised fast-ish scale (VERDICT r3 task 6)
+        (6, 12, 128, 0),  # slow tier: 4096 points, full-width scalars
     ],
 )
 def test_pippenger_end_to_end(d_logsize, x_logsize, num_bits, clm):
@@ -30,6 +44,12 @@ def test_pippenger_end_to_end(d_logsize, x_logsize, num_bits, clm):
     tr = Transcript(b"pippenger-e2e")
     output = run_pippenger(tr, data)
     proof = tr.end()
+
+    exp_size = EXPECTED_PROOF_BYTES.get((d_logsize, x_logsize, num_bits, clm))
+    if exp_size is not None:
+        assert len(proof) == exp_size, (
+            f"proof size changed: {len(proof)} != {exp_size}"
+        )
 
     tv = Transcript(b"pippenger-e2e", proof=proof)
     got = verify_pippenger(tv, config, output, expected_msm=expected)
