@@ -185,12 +185,21 @@ class KzgProvingKey:
         Routes to the packed-affine fold path on TPU (host torch gather +
         mixed-add fold kernels), the sharded path under an active mesh, and
         the generic device Pippenger elsewhere."""
+        import os
+
         from ..ops.pallas import curve_kernels as ck
         from ..parallel import context as _ctx
 
         n = limbs.shape[0]
         mesh = _ctx.get_mesh()
-        if ck.should_use() and (mesh is None or not _ctx.shardable(n, mesh)):
+        # GKR_MSM_PACKED=0 forces the device-gather path: the packed path's
+        # per-window host->device uploads (~25 u32/point) win on local PCIe
+        # but lose badly through a tunneled device, where the SRS already
+        # resident in HBM (ptau_dev) makes device gathers free of host I/O.
+        packed_ok = os.environ.get("GKR_MSM_PACKED", "1") != "0"
+        if packed_ok and ck.should_use() and (
+            mesh is None or not _ctx.shardable(n, mesh)
+        ):
             out = msm.msm_packed(self.packed_bases(), limbs, n_bits=n_bits)
             return g1.decode_proj(np.asarray(out)[None])[0]
         return msm.msm_host_result(self.ptau_dev[:n], limbs, n_bits=n_bits)

@@ -4,6 +4,13 @@ Real TPU hardware here is a single tunneled chip with slow remote compiles;
 multi-chip sharding logic is validated on virtual CPU devices exactly like
 the driver's dryrun (8 host devices).  The axon sitecustomize imports jax at
 interpreter start, so plain env vars are too late — use jax.config.
+
+XLA:CPU stability: a process that accumulates many hundreds of live
+compiled executables exhausts vm.max_map_count (default 65530) — the
+symptom is `LLVM compilation error: Cannot allocate memory` (with plenty of
+free RAM) or a SIGSEGV in backend_compile.  Mitigations here: per-module
+(and for the heaviest files per-test) jax.clear_caches(), per-file xdist
+workers, and on machines you control `sysctl -w vm.max_map_count=1048576`.
 """
 import os
 
