@@ -39,6 +39,11 @@ def main(argv=None):
 
     if not args.fused:
         os.environ.setdefault("GKR_MSM_FUSED_PROVER", "0")
+    # Tunneled devices: packed-affine commits upload ~25 u32/point per
+    # window through the tunnel and dominated phase 1 (30+ min); the
+    # device-gather route needs no host I/O (SRS resident in HBM).  Export
+    # GKR_MSM_PACKED=1 to re-enable on a local-PCIe TPU host.
+    os.environ.setdefault("GKR_MSM_PACKED", "0")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ.setdefault("GKR_MSM_JAX_CACHE", os.path.join(repo, ".jax_cache"))
     sys.path.insert(0, repo)
