@@ -179,6 +179,22 @@ class KzgProvingKey:
             self._packed = msm.PackedAffineBases(self.ptau_host)
         return self._packed
 
+    def packed_table_dev(self) -> jnp.ndarray:
+        """Device-resident packed-affine SRS table (size+1, 25) u32; row
+        `size` is the validity-0 pad slot.  Gathered at 25 u32/point by the
+        msm_table_dev / outer-bucket fold paths (vs 72 for ptau_dev)."""
+        if getattr(self, "_packed_dev", None) is None:
+            self._packed_dev = jnp.asarray(self.packed_bases()._np)
+        return self._packed_dev
+
+    def packed_table2_dev(self) -> jnp.ndarray:
+        """Doubled (P | -P) device packed table for the signed-digit path."""
+        if getattr(self, "_packed2_dev", None) is None:
+            pb = self.packed_bases()
+            pb._ensure_signed()
+            self._packed2_dev = jnp.asarray(pb._np2)
+        return self._packed2_dev
+
     def commit_limbs(self, limbs: np.ndarray, n_bits: int | None = None) -> Affine:
         """MSM of standard-form scalar limbs against the SRS prefix.
 
@@ -192,16 +208,30 @@ class KzgProvingKey:
 
         n = limbs.shape[0]
         mesh = _ctx.get_mesh()
-        # GKR_MSM_PACKED=0 forces the device-gather path: the packed path's
-        # per-window host->device uploads (~25 u32/point) win on local PCIe
-        # but lose badly through a tunneled device, where the SRS already
-        # resident in HBM (ptau_dev) makes device gathers free of host I/O.
-        packed_ok = os.environ.get("GKR_MSM_PACKED", "1") != "0"
-        if packed_ok and ck.should_use() and (
-            mesh is None or not _ctx.shardable(n, mesh)
-        ):
-            out = msm.msm_packed(self.packed_bases(), limbs, n_bits=n_bits)
-            return g1.decode_proj(np.asarray(out)[None])[0]
+        if ck.should_use() and (mesh is None or not _ctx.shardable(n, mesh)):
+            # GKR_MSM_COMMIT selects the single-device TPU route:
+            #   devgather (default) — SRS resident in HBM as a packed-affine
+            #     table; device gather (25 u32/pt) + mixed-add fold, host
+            #     uploads only the index vectors.  Best through a tunnel AND
+            #     on local PCIe (strictly less HBM traffic + cheaper adds
+            #     than the projective device-gather route).
+            #   packed   — host torch gather + per-window row uploads
+            #     (legacy round-3 path; wins only if HBM cannot hold the SRS).
+            #   proj     — projective device-gather (bit-exactness twin).
+            route = os.environ.get("GKR_MSM_COMMIT", "devgather")
+            if os.environ.get("GKR_MSM_PACKED") == "0" and "GKR_MSM_COMMIT" not in os.environ:
+                route = "proj"  # honor the legacy knob
+            if route == "devgather":
+                signed = os.environ.get("GKR_MSM_SIGNED", "0") == "1"
+                out = msm.msm_table_dev(
+                    self.packed_table_dev(), limbs, sentinel=self.size,
+                    table2_dev=self.packed_table2_dev() if signed else None,
+                    n_bits=n_bits, signed=signed,
+                )
+                return g1.decode_proj(np.asarray(out)[None])[0]
+            if route == "packed":
+                out = msm.msm_packed(self.packed_bases(), limbs, n_bits=n_bits)
+                return g1.decode_proj(np.asarray(out)[None])[0]
         return msm.msm_host_result(self.ptau_dev[:n], limbs, n_bits=n_bits)
 
     @classmethod

@@ -151,7 +151,29 @@ class BintreeAdd:
         )
 
     def prove(self, tr: Transcript, claims: SinglePointClaims, advices):
+        self._pin_kernel_cap(advices)
         return gkr.gkr_prove(tr, self.layers, claims, advices)
+
+    def _pin_kernel_cap(self, advices) -> None:
+        """Pin ONE round-kernel capacity across every rect layer: zero-padded
+        lanes are exact (eq weight 0), and a single compiled round program
+        per step fn replaces one per (fn, capacity) — the dominant compile
+        cost of the canonical x=16 prove (GKR_MSM_RECT_FIXCAP=0 disables)."""
+        import os
+
+        if os.environ.get("GKR_MSM_RECT_FIXCAP", "1") == "0":
+            return
+        caps = [
+            a[0].capacity
+            for a in advices
+            if a is not None and _is_rect(a)
+        ]
+        if not caps:
+            return
+        fix = max(caps)
+        for layer in self.layers:
+            if isinstance(layer, RectDeg2Sumcheck):
+                layer.kernel_cap = fix
 
     def verify(self, tr: Transcript, claims: SinglePointClaims):
         return gkr.gkr_verify(tr, self.layers, claims)

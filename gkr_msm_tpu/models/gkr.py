@@ -220,8 +220,13 @@ def gkr_prove(
     """Iterate layers in reverse zipped with advices consumed from the end
     (gkr.rs:45-50): layers[-1] gets advices[-1]."""
     assert len(layers) == len(advices), (len(layers), len(advices))
+    from ..utils.tracing import span
+
     for layer, advice in zip(reversed(list(layers)), reversed(list(advices))):
-        claims = layer.prove_layer(tr, claims, advice)
+        nv = getattr(layer, "num_vars", None)
+        label = type(layer).__name__ + (f"[{nv}v]" if nv is not None else "")
+        with span(f"layer {label}"):
+            claims = layer.prove_layer(tr, claims, advice)
     return claims
 
 

@@ -558,7 +558,8 @@ class RectSumcheckObject:
     logical-tail corrections) degenerating into DenseSumcheckObject over the
     column vars (vecvec_eq.rs:227-250 stage switch)."""
 
-    def __init__(self, spec, polys: Sequence[RectPoly], fn, gamma_pows, claim, point):
+    def __init__(self, spec, polys: Sequence[RectPoly], fn, gamma_pows, claim, point,
+                 fix_cap: Optional[int] = None):
         self.spec = spec
         self.fn = fn
         self.gamma_pows = list(gamma_pows)
@@ -571,7 +572,12 @@ class RectSumcheckObject:
         self.row_pads = [p.row_pad for p in polys]
         self.col_pads = [p.col_pad for p in polys]
         self.datas = tuple(p.data for p in polys)
-        self.cap0 = int(self.datas[0].shape[1])  # fixed round-kernel capacity
+        # fixed round-kernel capacity: rounds below it are zero-padded back
+        # up (exact: pad lanes carry eq = 0).  fix_cap lets a GKR pin ONE
+        # capacity across all its layers so every layer's round reuses a
+        # single compiled kernel per fn instead of one per (fn, capacity) —
+        # the x=16 canonical run's compile sweep shrinks ~8x (VERDICT r4 #1).
+        self.cap0 = max(int(self.datas[0].shape[1]), int(fix_cap or 0))
         self.k = 0  # bound row vars
         self.multiplier = 1
         self.challenges: List[int] = []
@@ -799,7 +805,8 @@ class RectDeg2Sumcheck:
             )
         else:
             obj = RectSumcheckObject(
-                self.spec, polys, self.fn, gamma_pows, folded, claims.point
+                self.spec, polys, self.fn, gamma_pows, folded, claims.point,
+                fix_cap=getattr(self, "kernel_cap", None),
             )
             (final_claim, point), poly_evs = prove_rounds(
                 tr, obj, self.degrees(), folded

@@ -493,7 +493,10 @@ def _carry_sum_t(spec, pts_t, carry_idx: np.ndarray, sentinel: int, curve: str):
     from ..pallas import curve_kernels as ck
 
     m = carry_idx.size
-    k = max(1, (m + 127) // 128)
+    # quantize the fold depth like every other fused grid (grid_capacity):
+    # the carry count (~n/2 for random scalars) varies per scalar set, and an
+    # unquantized k would compile a fresh fold program per count band
+    k = grid_capacity(max(1, (m + 127) // 128), 8)
     idx = np.full(k * 128, sentinel, dtype=np.int64)
     idx[:m] = carry_idx
     partials = _tree_levels_t(
@@ -834,7 +837,7 @@ def msm_packed(
         carry_t = None
         if carry_idx is not None and carry_idx.size:
             m = carry_idx.size
-            k = max(1, (m + 127) // 128)
+            k = grid_capacity(max(1, (m + 127) // 128), 8)
             idx = np.full(k * 128, sentinel, dtype=np.int64)
             idx[:m] = carry_idx  # positive table half: row i is point i
             g = bases.gather(idx)
@@ -886,6 +889,114 @@ def msm_packed(
             flush=True,
         )
     return out
+
+
+# -----------------------------------------------------------------------------
+# device packed-affine table path (SRS resident in HBM as 25-u32 rows)
+# -----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_buckets"))
+def _fold_packed_dev(
+    spec, table_dev: jnp.ndarray, idx: jnp.ndarray, n_buckets: int
+) -> jnp.ndarray:
+    """Device gather of packed-affine rows + mixed-add fold -> (3L, n_buckets).
+
+    table_dev: (rows, 25) u32 packed-affine table (PackedAffineBases layout,
+    incl. the validity-0 pad row); idx: (capacity * n_buckets,) capacity-major
+    flat indices.  Gathers 25 u32/point (vs 72 for projective) and folds with
+    the mixed-add kernel (11 muls vs 12) — the device-side equivalent of the
+    host-gather msm_packed path, with no host I/O beyond the index vector.
+    """
+    from ..pallas import curve_kernels as ck
+
+    g = jnp.take(table_dev, idx, axis=0)  # (M, 25)
+    return ck.fold_affine_t(spec, g.T, n_buckets)
+
+
+def msm_table_dev(
+    table_dev: jnp.ndarray,
+    scalars_std_limbs: np.ndarray,
+    sentinel: int,
+    table2_dev: Optional[jnp.ndarray] = None,
+    c: int | None = None,
+    n_bits: int | None = None,
+    signed: bool | None = None,
+) -> jnp.ndarray:
+    """MSM over a DEVICE-resident packed-affine G1 table -> projective (3, L).
+
+    table_dev: (N+1, 25) packed-affine rows, row `sentinel` = pad (validity
+    0).  table2_dev: optional doubled (P | -P) table (2(N+1), 25) for the
+    signed-digit path (row sentinel+1+i = -P_i).  Requires the fused curve
+    kernels (callers route here only when curve_kernels.should_use()).
+
+    This is the TPU-native msm_nonaffine fast path for commitment MSMs: the
+    SRS never leaves HBM; the host only uploads the per-window bucket-sort
+    index vectors (4 bytes/slot vs 100 for host-gathered rows).
+    """
+    spec = FQ
+    from ..pallas import curve_kernels as ck
+
+    n = scalars_std_limbs.shape[0]
+    if c is None:
+        c = auto_c(n)
+    if n_bits is None:
+        n_bits = FR.bits
+    if signed is None:
+        signed = os.environ.get("GKR_MSM_SIGNED", "0") == "1"
+    if signed and c >= 2 and table2_dev is not None:
+        dig_abs, dig_neg = scalars_to_signed_digits(scalars_std_limbs, c, n_bits)
+        n_buckets = 1 << (c - 1)
+        grids, capacity, extras, carry_idx = signed_window_grids(
+            dig_abs, dig_neg, c, n, quantum=256,
+            sentinel=sentinel, neg_offset=sentinel + 1,
+        )
+        window_buckets = [
+            _fold_packed_dev(
+                spec, table2_dev,
+                jnp.asarray(grid.T.reshape(-1), dtype=jnp.int32), n_buckets,
+            )
+            for grid in grids
+        ]
+        extra_t = None
+        if extras is not None:
+            extra_t = _fold_packed_dev(
+                spec, table2_dev,
+                jnp.asarray(extras.T.reshape(-1), dtype=jnp.int32),
+                extras.shape[0],
+            )
+        carry_t = None
+        if carry_idx is not None and carry_idx.size:
+            m = carry_idx.size
+            k = grid_capacity(max(1, (m + 127) // 128), 8)
+            idx = np.full(k * 128, sentinel, dtype=np.int64)
+            idx[:m] = carry_idx  # positive table half
+            carry_t = ck.sum_lanes_t(
+                spec,
+                _fold_packed_dev(
+                    spec, table_dev, jnp.asarray(idx, dtype=jnp.int32), 128
+                ),
+                "g1",
+            )
+        return _combine_windows_t(spec, window_buckets, c, "g1", extra_t, carry_t)
+    digits = scalars_to_digit_matrix(scalars_std_limbs, c, n_bits)
+    n_windows = digits.shape[0]
+    n_buckets = 1 << c
+    max_load = max(
+        1,
+        int(max(np.bincount(digits[w], minlength=n_buckets).max()
+                for w in range(n_windows))),
+    )
+    capacity = grid_capacity(max_load, 256)
+    window_buckets = []
+    for w in range(n_windows):
+        grid, _cap = bucket_index_grid(digits[w], n_buckets, sentinel, capacity)
+        window_buckets.append(
+            _fold_packed_dev(
+                spec, table_dev,
+                jnp.asarray(grid.T.reshape(-1), dtype=jnp.int32), n_buckets,
+            )
+        )
+    return _combine_windows_t(spec, window_buckets, c, "g1")
 
 
 # -----------------------------------------------------------------------------

@@ -801,6 +801,12 @@ def should_use(spec: FieldSpec, fn: AlgFn, m: int) -> bool:
 def should_use_bind(m: int) -> bool:
     if fk._FORCE == "0":
         return False
+    # GKR_MSM_PALLAS_BIND=0: route binds through XLA (bind is HBM-bound, so
+    # XLA reaches similar bandwidth, and its per-shape compiles are ~10x
+    # cheaper than Mosaic's — useful for one-shot multi-shape sweeps like
+    # the canonical x=16 prove, where binds are the remaining shape zoo)
+    if _os.environ.get("GKR_MSM_PALLAS_BIND", "1") == "0":
+        return False
     if fk._FORCE != "1" and not fk._backend_is_tpu():
         return False
     return m >= 2 * fk.MIN_PALLAS_ELEMS

@@ -167,8 +167,12 @@ def main() -> int:
         scalars = [(1 << 32) - 1 - rng.randrange(1 << 30) for _ in range(n)]
         dev = msm.encode_points_device(pts)
         limbs = msm.scalars_ints_to_limbs(scalars)
-        ab, ng = msm.scalars_to_signed_digits(limbs, 8, 32)
-        assert msm.signed_window_grids(ab, ng, 8, n)[3].size > 0, "need carries"
+        # validate the configuration msm_device actually selects (auto_c),
+        # and guard the no-separation case (grids[3] is None then)
+        c_auto = msm.auto_c(n)
+        ab, ng = msm.scalars_to_signed_digits(limbs, c_auto, 32)
+        g = msm.signed_window_grids(ab, ng, c_auto, n)[3]
+        assert g is not None and g.size > 0, "need carries"
         exp = g1.Host.msm(scalars, pts)
         got = g1.decode_proj(
             np.asarray(msm.msm_device(dev, limbs, n_bits=32, signed=False))[None]

@@ -160,3 +160,33 @@ def test_bintree_with_bitcheck(rng):
     assert out_claims == ver_claims
     for poly, ev in zip(inputs, ver_claims.evs):
         assert poly.evaluate(ver_claims.point) == ev
+
+
+def test_bintree_fixcap_transcript_identical(rng, monkeypatch):
+    """Pinning one round-kernel capacity across all bintree layers
+    (GKR_MSM_RECT_FIXCAP, the canonical-run compile-sweep fix) must be
+    byte-transparent: zero-padded lanes carry eq weight 0."""
+    import random
+
+    rng = random.Random(0xF1CA)
+    num_adds, row_logsize, col_logsize = 3, 3, 2
+    num_vars = row_logsize + col_logsize
+    points, _ = random_jagged_points(rng, row_logsize, col_logsize)
+    inputs = rect_map_split(points, id_algfn(2), 2)
+    advices = bintree.witness_build(inputs, row_logsize, num_adds, False)
+    out_polys = bintree.last_step(advices[-1], num_adds - 1)
+    dense_out = [o.to_dense() for o in out_polys] if isinstance(
+        out_polys[0], RectPoly) else out_polys
+    out_vars = num_vars - num_adds
+    point = [rng.randrange(FR.modulus) for _ in range(out_vars)]
+    evs = [mle.evaluate(FR, o, point) for o in dense_out]
+    claims = SinglePointClaims(point=point, evs=evs)
+
+    proofs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("GKR_MSM_RECT_FIXCAP", flag)
+        proto = bintree.BintreeAdd(num_adds, num_vars, row_logsize, False)
+        tr = Transcript(b"bintree-fixcap")
+        proto.prove(tr, claims, advices)
+        proofs[flag] = tr.end()
+    assert proofs["0"] == proofs["1"]

@@ -195,3 +195,34 @@ def test_witness_gen_vectorized_matches_naive(rng):
     ord2, sorted_d, rank_sorted = _sorted_bucket_ranks(digits)
     assert (ord2 == orders).all()
     assert (np.take_along_axis(digits, orders, axis=1) == sorted_d).all()
+
+
+def test_outer_bucket_commits_match_direct():
+    """The outer-bucket commitment scheme (phase-1 bit-masked combine +
+    phase-2 bucket MSMs, pushforward.rs:398-456,504-524,572-622) must produce
+    group elements bit-identical to direct full-matrix MSM commits, on a
+    ragged config (y_size=5, clm=1 -> a partial last multirow)."""
+    rng = random.Random(0xB0C4)
+    x_logsize, y_logsize, d_logsize = 3, 3, 2
+    y_size = 5
+    clm = 1
+    x_size = 1 << x_logsize
+    points = [bs.Host.random_point(rng) for _ in range(x_size)]
+    coefs = [rng.randrange(1 << (y_size * d_logsize)) for _ in range(x_size)]
+    srs = kzgm.random_kzg_pk(2 * (1 << (x_logsize + clm)) - 1, rng)
+    key = KnucklesProvingKey.new(srs, x_logsize + clm, k=2)
+    state = PushForwardState(
+        points, coefs, y_size, y_logsize, d_logsize, x_logsize, clm, key
+    )
+    assert state._use_outer
+
+    c_bits = max(int(state.counter.max()), 1).bit_length()
+    assert state.phase_1_comm.c == state._commit_int_matrix(state.counter, c_bits)
+    assert state.phase_1_comm.d == state._commit_int_matrix(
+        state.digits, max(d_logsize, 1)
+    )
+
+    r = [rng.randrange(P) for _ in range(y_logsize + d_logsize + x_logsize)]
+    state.second_phase(r)
+    assert state.phase_2_comm.c_pull == state._commit_mont_matrix(state.c_pull_dev)
+    assert state.phase_2_comm.d_pull == state._commit_mont_matrix(state.d_pull_dev)
