@@ -644,16 +644,35 @@ class PushforwardProtocol:
 
         ev_folded = (evs[0] + gammas[1] * evs[1] + gammas[2] * evs[2]) % P
 
-        prod3_obj = PlainSumcheckObject(
-            FR, [p_selector_prod, c_pull, d_pull], PROD3_FN, 0, ev_folded
-        )
+        from ..parallel import context as _pctx
+
+        mesh = _pctx.get_mesh()
         cd_point, cd_evs = cd_claims.point, cd_claims.evs
         assert len(cd_evs) == 2
         claim = (cd_evs[0] + gammas[1] * cd_evs[1] + gammas[2] * ev_folded) % P
-        frac_obj = PlainSumcheckObject(
-            FR, [c_adj, d_adj], ADD_INVERSES_FN, gamma,
-            (cd_evs[0] + gamma * cd_evs[1]) % P, point=cd_point,
-        )
+        if mesh is not None and _pctx.shardable(
+            1 << matrix_logsize, mesh, min_per_device=4
+        ):
+            # multi-chip: both interleaved mainphase sumchecks shard the
+            # matrix-size table plane (pushforward.rs:765-801 hot loop)
+            from ..parallel.sharded import ShardedPlainSumcheckObject
+
+            prod3_obj = ShardedPlainSumcheckObject(
+                mesh, FR, [p_selector_prod, c_pull, d_pull], PROD3_FN, 0,
+                ev_folded,
+            )
+            frac_obj = ShardedPlainSumcheckObject(
+                mesh, FR, [c_adj, d_adj], ADD_INVERSES_FN, gamma,
+                (cd_evs[0] + gamma * cd_evs[1]) % P, point=list(cd_point),
+            )
+        else:
+            prod3_obj = PlainSumcheckObject(
+                FR, [p_selector_prod, c_pull, d_pull], PROD3_FN, 0, ev_folded
+            )
+            frac_obj = PlainSumcheckObject(
+                FR, [c_adj, d_adj], ADD_INVERSES_FN, gamma,
+                (cd_evs[0] + gamma * cd_evs[1]) % P, point=cd_point,
+            )
 
         output_point = []
         for _ in range(matrix_logsize):

@@ -522,9 +522,26 @@ class DenseEqSumcheckNaive:
         p = self.spec.modulus
         gamma = tr.challenge(SUMCHECK_CHALLENGE_BITS)
         folded = fh.fold_with_gamma(gamma, claims.evs, p)
-        obj = PlainSumcheckObject(
-            self.spec, polys, self.fn, gamma, folded, point=claims.point
-        )
+        from ..parallel import context as _pctx
+
+        mesh = _pctx.get_mesh()
+        if (
+            mesh is not None
+            and self.num_vars > 0
+            and _pctx.shardable(int(polys[0].shape[0]), mesh, min_per_device=4)
+        ):
+            # multi-chip: logup-mainphase hot layers shard the table plane
+            # (reference rayon parallelism, logup_mainphase.rs:149-200)
+            from ..parallel.sharded import ShardedPlainSumcheckObject
+
+            obj = ShardedPlainSumcheckObject(
+                mesh, self.spec, polys, self.fn, gamma, folded,
+                point=list(claims.point),
+            )
+        else:
+            obj = PlainSumcheckObject(
+                self.spec, polys, self.fn, gamma, folded, point=claims.point
+            )
         (final_claim, point), poly_evs = prove_rounds(
             tr, obj, self.degrees(), folded
         )

@@ -300,6 +300,142 @@ class ShardedSumcheckObject:
         return [fl.decode_ints(self.spec, p[:1])[0] for p in self.polys]
 
 
+def sharded_plain_round(
+    mesh: Mesh,
+    spec: FieldSpec,
+    fn: AlgFn,
+    with_eq: bool,
+    total_deg: int,
+    polys: Sequence[jnp.ndarray],
+    gammas: jnp.ndarray,
+):
+    """Plain (non-Gruen) round evals at t=1..total_deg, psum'd over the mesh
+    (the logup-mainphase / pushforward-mainphase hot round, sharded —
+    reference rayon: logup_mainphase.rs:149-200)."""
+    from ..models.sumcheck import _plain_round_multi
+
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
+        out_specs=PSpec(),
+    )
+    def step(polys_l, gammas_l):
+        sums_local = _plain_round_multi(
+            spec, fn, with_eq, total_deg, tuple(polys_l), gammas_l
+        )
+        return _psum_field(spec, sums_local, AXIS, n_dev)
+
+    return jax.jit(step)(tuple(polys), gammas)
+
+
+class ShardedPlainSumcheckObject:
+    """Multi-chip twin of models/sumcheck.PlainSumcheckObject: the table
+    plane (inputs + optional materialized eq table) is sharded over the
+    mesh, each round psums the (total_deg, L) partial evals, binds are
+    shard-local, and below `local_threshold` the polys gather to replicated
+    and a local PlainSumcheckObject finishes.  Transcript-identical to the
+    single-device path (modular sums are order-exact)."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        spec: FieldSpec,
+        polys: Sequence[jnp.ndarray],
+        fn: AlgFn,
+        gamma: int,
+        claim: int,
+        point: List[int] | None = None,
+        local_threshold: int | None = None,
+    ):
+        from ..ops.field import host as fh
+        from ..ops.poly import mle
+
+        self.mesh = mesh
+        self.spec = spec
+        self.fn = fn
+        self.with_eq = point is not None
+        self.total_deg = fn.deg + (1 if self.with_eq else 0)
+        p = spec.modulus
+        self.gamma = gamma
+        self.gamma_pows = fh.make_gamma_pows(gamma, max(fn.n_outs, 1), p)
+        self.gammas_dev = jnp.asarray(fl.encode_ints(spec, self.gamma_pows))
+        self.claim = claim
+        self.challenges: List[int] = []
+        self._cached: List[int] | None = None
+        n_dev = mesh.devices.size
+        self.local_threshold = (
+            local_threshold if local_threshold is not None else 4 * n_dev
+        )
+        polys = list(polys)
+        if self.with_eq:
+            polys.append(mle.eq_table(spec, point))
+        self.polys = [shard_table(mesh, pp) for pp in polys]
+        self.local_obj = None
+        self._maybe_localize()
+
+    def _maybe_localize(self):
+        from ..models.sumcheck import PlainSumcheckObject
+
+        if self.local_obj is not None:
+            return
+        if self.polys[0].shape[0] > self.local_threshold:
+            return
+        polys = [replicate(self.mesh, pp) for pp in self.polys]
+        obj = PlainSumcheckObject.__new__(PlainSumcheckObject)
+        obj.spec = self.spec
+        obj.fn = self.fn
+        obj.with_eq = self.with_eq
+        obj.total_deg = self.total_deg
+        obj.gamma_pows = self.gamma_pows
+        obj.gammas_dev = self.gammas_dev
+        obj.claim = self.claim
+        obj.challenges = list(self.challenges)
+        obj._cached = None
+        obj.polys = tuple(polys)
+        self.local_obj = obj
+
+    def unipoly(self) -> List[int]:
+        from ..ops.field import host as fh
+
+        if self.local_obj is not None:
+            return self.local_obj.unipoly()
+        assert self._cached is None
+        p = self.spec.modulus
+        sums = sharded_plain_round(
+            self.mesh, self.spec, self.fn, self.with_eq, self.total_deg,
+            self.polys, self.gammas_dev,
+        )
+        evals = fl.decode_ints(self.spec, sums)
+        p0 = (self.claim - evals[0]) % p
+        coeffs = fh.interpolate_from_evals([p0] + evals, p)
+        self._cached = coeffs
+        return coeffs
+
+    def bind(self, t: int) -> None:
+        from ..ops.field import host as fh
+        from ..ops.poly import mle
+
+        if self.local_obj is not None:
+            self.local_obj.bind(t)
+            self.claim = self.local_obj.claim
+            self.challenges.append(t)
+            return
+        tl = mle.scalar(self.spec, t)
+        self.polys = sharded_bind(self.mesh, self.spec, self.polys, tl)
+        self.claim = fh.evaluate_univar(self._cached, t, self.spec.modulus)
+        self._cached = None
+        self.challenges.append(t)
+        self._maybe_localize()
+
+    def final_evals(self) -> List[int]:
+        if self.local_obj is not None:
+            return self.local_obj.final_evals()
+        return [fl.decode_ints(self.spec, pp[:1])[0] for pp in self.polys]
+
+
 def sharded_prove(
     mesh: Mesh,
     tr,
