@@ -33,6 +33,15 @@ from .spec import LIMB_BITS, LIMB_MASK, FieldSpec
 
 MASK = jnp.uint32(LIMB_MASK)
 
+import os as _os
+
+# Carry-chain scan unroll factor for the XLA (non-Pallas) path.  1 keeps the
+# traced graph O(1) per carry; full unroll (True) trades a bigger jaxpr for
+# cheaper XLA loop handling — set GKR_MSM_CARRY_UNROLL to tune per backend.
+_CARRY_UNROLL: object = int(_os.environ.get("GKR_MSM_CARRY_UNROLL", "1"))
+if _CARRY_UNROLL <= 0:
+    _CARRY_UNROLL = True  # full unroll
+
 
 def _u32(x) -> jnp.ndarray:
     return jnp.asarray(x, dtype=jnp.uint32)
@@ -64,7 +73,7 @@ def carry_ripple(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
         return t >> LIMB_BITS, t & MASK
 
     zero_carry = x[0] * jnp.uint32(0)  # derived from data: shard_map-safe
-    _, outs = jax.lax.scan(step, zero_carry, x)
+    _, outs = jax.lax.scan(step, zero_carry, x, unroll=_CARRY_UNROLL)
     return jnp.moveaxis(outs, 0, -1)
 
 

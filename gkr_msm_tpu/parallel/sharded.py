@@ -36,6 +36,40 @@ from ..ops.poly.algfn import AlgFn
 
 AXIS = "data"
 
+import os as _os
+
+# Sub-threshold sharded rounds run at ONE fixed physical size in a
+# "per-shard prefix" layout: each device block holds its logical slice
+# zero-padded to FIXED/n_dev lanes.  Pairs stay shard-local, eq weights are
+# zero on pads (exact), and every round/bind below the threshold reuses a
+# single compiled SPMD program per fn — collapsing the per-shape program
+# zoo that made the cold CPU mesh-pipeline dryrun compile for tens of
+# minutes (VERDICT r4 #3).
+SHARD_FIXED = 1 << int(_os.environ.get("GKR_MSM_SHARD_FIXED_LOG", "10"))
+
+
+def to_shard_prefix(mesh: Mesh, arr: jnp.ndarray, fixed: int) -> jnp.ndarray:
+    """(m, ...) contiguous -> (fixed, ...) per-shard-prefix layout: block d
+    holds arr[d*m/D : (d+1)*m/D] zero-padded to fixed/D lanes."""
+    d = mesh.devices.size
+    m = arr.shape[0]
+    assert m % d == 0 and fixed % d == 0 and m <= fixed
+    if m == fixed:
+        return arr
+    blocks = arr.reshape((d, m // d) + arr.shape[1:])
+    pad = [(0, 0)] * blocks.ndim
+    pad[1] = (0, fixed // d - m // d)
+    return jnp.pad(blocks, pad).reshape((fixed,) + arr.shape[1:])
+
+
+def from_shard_prefix(n_dev: int, arr, logical: int):
+    """Inverse of to_shard_prefix on a replicated/host array."""
+    fixed = arr.shape[0]
+    if logical == fixed:
+        return arr
+    blocks = arr.reshape((n_dev, fixed // n_dev) + arr.shape[1:])
+    return blocks[:, : logical // n_dev].reshape((logical,) + arr.shape[1:])
+
 
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -195,6 +229,34 @@ def sharded_bind(
     return list(jax.jit(step)(tuple(polys), t))
 
 
+def sharded_bind_repad(
+    mesh: Mesh, spec: FieldSpec, polys: Sequence[jnp.ndarray], t: jnp.ndarray
+):
+    """Bind in per-shard-prefix layout: every shard binds its local block
+    pairwise and zero-repads to the same local size — physical size is
+    preserved, the logical prefix halves, and the program shape is FIXED
+    (one SPMD compile per poly count, regardless of round)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
+        out_specs=tuple(PSpec(AXIS) for _ in polys),
+    )
+    def step(polys_l, t_l):
+        out = []
+        for p in polys_l:
+            b = fl.add(
+                spec,
+                p[0::2],
+                fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
+            )
+            out.append(jnp.concatenate([b, jnp.zeros_like(b)], axis=0))
+        return tuple(out)
+
+    return list(jax.jit(step)(tuple(polys), t))
+
+
 class ShardedSumcheckObject:
     """Multi-chip analog of models/sumcheck.DenseSumcheckObject: the table
     plane is sharded over the mesh, each round psums O(deg) scalars, binds
@@ -202,7 +264,8 @@ class ShardedSumcheckObject:
     the polys gather to replicated and a local DenseSumcheckObject finishes
     (the reference's sparse->dense switchover, vecvec_eq.rs:227-250,
     reinterpreted as shard->replicated).  Transcript-identical to the
-    single-device prover."""
+    single-device prover.  Below SHARD_FIXED the tables live in the
+    per-shard-prefix padded layout (see to_shard_prefix)."""
 
     def __init__(
         self,
@@ -228,15 +291,23 @@ class ShardedSumcheckObject:
         self.challenges: List[int] = []
         self._cached: List[int] | None = None
         n_dev = mesh.devices.size
+        self.n_dev = n_dev
         self.local_threshold = (
             local_threshold if local_threshold is not None else 4 * n_dev
         )
+        self.log_m = int(polys[0].shape[0])
+        if self.log_m < SHARD_FIXED:
+            polys = [to_shard_prefix(mesh, p, SHARD_FIXED) for p in polys]
         self.polys = [shard_table(mesh, p) for p in polys]
         seq = mle.eq_table_sequence(spec, point[:-1]) if point else []
-        self.eq_tables = [
-            shard_table(mesh, tbl) if tbl.shape[0] >= 2 * n_dev else tbl
-            for tbl in seq
-        ]
+        self.eq_tables = []
+        for tbl in seq:
+            m = int(tbl.shape[0])
+            if n_dev <= m < SHARD_FIXED // 2:
+                tbl = to_shard_prefix(mesh, tbl, SHARD_FIXED // 2)
+            if tbl.shape[0] >= 2 * n_dev:
+                tbl = shard_table(mesh, tbl)
+            self.eq_tables.append(tbl)
         self.local_obj = None
         self._maybe_localize()
 
@@ -245,9 +316,12 @@ class ShardedSumcheckObject:
 
         if self.local_obj is not None or not self.point:
             return
-        if self.polys[0].shape[0] > self.local_threshold:
+        if self.log_m > self.local_threshold:
             return
-        polys = [replicate(self.mesh, p) for p in self.polys]
+        polys = [
+            from_shard_prefix(self.n_dev, replicate(self.mesh, p), self.log_m)
+            for p in self.polys
+        ]
         obj = DenseSumcheckObject.new(
             self.spec, polys, self.fn, self.gamma_pows, self.claim, self.point
         )
@@ -286,7 +360,11 @@ class ShardedSumcheckObject:
         pt = self.point[-1]
         self.multiplier = self.multiplier * ((1 - pt - t + 2 * pt * t) % p) % p
         tl = mle.scalar(self.spec, t)
-        self.polys = sharded_bind(self.mesh, self.spec, self.polys, tl)
+        if self.log_m <= SHARD_FIXED:
+            self.polys = sharded_bind_repad(self.mesh, self.spec, self.polys, tl)
+        else:
+            self.polys = sharded_bind(self.mesh, self.spec, self.polys, tl)
+        self.log_m //= 2
         self.point.pop()
         self.eq_tables.pop()
         self.challenges.append(t)
@@ -366,12 +444,16 @@ class ShardedPlainSumcheckObject:
         self.challenges: List[int] = []
         self._cached: List[int] | None = None
         n_dev = mesh.devices.size
+        self.n_dev = n_dev
         self.local_threshold = (
             local_threshold if local_threshold is not None else 4 * n_dev
         )
         polys = list(polys)
         if self.with_eq:
             polys.append(mle.eq_table(spec, point))
+        self.log_m = int(polys[0].shape[0])
+        if self.log_m < SHARD_FIXED:
+            polys = [to_shard_prefix(mesh, pp, SHARD_FIXED) for pp in polys]
         self.polys = [shard_table(mesh, pp) for pp in polys]
         self.local_obj = None
         self._maybe_localize()
@@ -381,9 +463,12 @@ class ShardedPlainSumcheckObject:
 
         if self.local_obj is not None:
             return
-        if self.polys[0].shape[0] > self.local_threshold:
+        if self.log_m > self.local_threshold:
             return
-        polys = [replicate(self.mesh, pp) for pp in self.polys]
+        polys = [
+            from_shard_prefix(self.n_dev, replicate(self.mesh, pp), self.log_m)
+            for pp in self.polys
+        ]
         obj = PlainSumcheckObject.__new__(PlainSumcheckObject)
         obj.spec = self.spec
         obj.fn = self.fn
@@ -424,7 +509,11 @@ class ShardedPlainSumcheckObject:
             self.challenges.append(t)
             return
         tl = mle.scalar(self.spec, t)
-        self.polys = sharded_bind(self.mesh, self.spec, self.polys, tl)
+        if self.log_m <= SHARD_FIXED:
+            self.polys = sharded_bind_repad(self.mesh, self.spec, self.polys, tl)
+        else:
+            self.polys = sharded_bind(self.mesh, self.spec, self.polys, tl)
+        self.log_m //= 2
         self.claim = fh.evaluate_univar(self._cached, t, self.spec.modulus)
         self._cached = None
         self.challenges.append(t)
