@@ -241,13 +241,29 @@ def _fold_affine_call(
     )(packed_t)
 
 
+# widest lane block a fold kernel may hold resident: the accumulator plus
+# the add formula's ~12 live double-width temporaries must fit the ~16 MB
+# scoped VMEM (measured: 4096 lanes ~9.4 MB of temps; 24k lanes OOMs)
+MAX_FOLD_LANES = 4096
+
+
 def fold_affine_t(
     spec: FieldSpec, packed_t: jnp.ndarray, n_out: int
 ) -> jnp.ndarray:
-    """Mixed-add fold of packed affine chunks (see _fold_affine_call)."""
+    """Mixed-add fold of packed affine chunks (see _fold_affine_call).
+    Wide folds (> MAX_FOLD_LANES buckets) process in column blocks — one
+    kernel dispatch per block, each with its accumulator VMEM-resident."""
     prows, total = packed_t.shape
     assert total % n_out == 0
     K = total // n_out
+    if n_out > MAX_FOLD_LANES:
+        blocks = []
+        x = packed_t.reshape(prows, K, n_out)
+        for j in range(0, n_out, MAX_FOLD_LANES):
+            w = min(MAX_FOLD_LANES, n_out - j)
+            xb = x[:, :, j : j + w].reshape(prows, K * w)
+            blocks.append(fold_affine_t(spec, xb, w))
+        return jnp.concatenate(blocks, axis=1)
     n_pad = max(128, ((n_out + 127) // 128) * 128)
     if n_pad != n_out:
         packed_t = jnp.pad(
@@ -264,10 +280,19 @@ def fold_t(
     """Point-fold chunk-major lanes: (3n, K*n_out) -> (3n, n_out) sums.
 
     Pads each chunk to a 128-lane multiple (zero lanes stay lane-local
-    garbage and are sliced off)."""
+    garbage and are sliced off).  Wide folds process in VMEM-sized column
+    blocks (see MAX_FOLD_LANES)."""
     rows, total = x_t.shape
     assert total % n_out == 0
     K = total // n_out
+    if n_out > MAX_FOLD_LANES:
+        blocks = []
+        x = x_t.reshape(rows, K, n_out)
+        for j in range(0, n_out, MAX_FOLD_LANES):
+            w = min(MAX_FOLD_LANES, n_out - j)
+            xb = x[:, :, j : j + w].reshape(rows, K * w)
+            blocks.append(fold_t(spec, xb, w, curve))
+        return jnp.concatenate(blocks, axis=1)
     n_pad = max(128, ((n_out + 127) // 128) * 128)
     if n_pad != n_out:
         x_t = jnp.pad(

@@ -140,6 +140,23 @@ def _psum_field(spec: FieldSpec, x: jnp.ndarray, axis_name: str, n_devices: int)
     return v[..., :nl]
 
 
+_PROGRAM_CACHE: dict = {}
+
+
+def _cached_jit(key, builder):
+    """Memoize jit(shard_map(step)) wrappers per (site, mesh, fn, arity).
+
+    Building a fresh closure per call and jitting it defeats jax's
+    python-level jit cache entirely: every sumcheck ROUND paid a full
+    retrace + relower + backend compile (~18 s each on XLA:CPU) — the real
+    root cause of the rounds-1..4 mesh-dryrun timeouts.  With the wrapper
+    memoized, repeat rounds hit the normal jit fast path."""
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        prog = _PROGRAM_CACHE[key] = jax.jit(builder())
+    return prog
+
+
 def sharded_round_step(
     mesh: Mesh,
     spec: FieldSpec,
@@ -156,30 +173,34 @@ def sharded_round_step(
     """
     n_dev = mesh.devices.size
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            tuple(PSpec(AXIS) for _ in polys),
-            PSpec(AXIS),
-            PSpec(),
-        ),
-        out_specs=(PSpec(), tuple(PSpec(AXIS) for _ in polys)),
-    )
-    def step(polys_l, eq_l, t_l):
-        sums_local = _local_round_sums(spec, fn, list(polys_l), eq_l)
-        sums = _psum_field(spec, sums_local, AXIS, n_dev)
-        bound = tuple(
-            fl.add(
-                spec,
-                p[0::2],
-                fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
-            )
-            for p in polys_l
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                tuple(PSpec(AXIS) for _ in polys),
+                PSpec(AXIS),
+                PSpec(),
+            ),
+            out_specs=(PSpec(), tuple(PSpec(AXIS) for _ in polys)),
         )
-        return sums, bound
+        def step(polys_l, eq_l, t_l):
+            sums_local = _local_round_sums(spec, fn, list(polys_l), eq_l)
+            sums = _psum_field(spec, sums_local, AXIS, n_dev)
+            bound = tuple(
+                fl.add(
+                    spec,
+                    p[0::2],
+                    fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
+                )
+                for p in polys_l
+            )
+            return sums, bound
 
-    return jax.jit(step)(tuple(polys), eq_tbl, t)
+        return step
+
+    prog = _cached_jit(("round_step", mesh, spec.name, fn, len(polys)), build)
+    return prog(tuple(polys), eq_tbl, t)
 
 
 def sharded_round_sums(
@@ -192,17 +213,21 @@ def sharded_round_sums(
     """Round sums only (no bind): psum'd (2, n_outs, L), replicated."""
     n_dev = mesh.devices.size
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec(AXIS)),
-        out_specs=PSpec(),
-    )
-    def step(polys_l, eq_l):
-        sums_local = _local_round_sums(spec, fn, list(polys_l), eq_l)
-        return _psum_field(spec, sums_local, AXIS, n_dev)
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec(AXIS)),
+            out_specs=PSpec(),
+        )
+        def step(polys_l, eq_l):
+            sums_local = _local_round_sums(spec, fn, list(polys_l), eq_l)
+            return _psum_field(spec, sums_local, AXIS, n_dev)
 
-    return jax.jit(step)(tuple(polys), eq_tbl)
+        return step
+
+    prog = _cached_jit(("round_sums", mesh, spec.name, fn, len(polys)), build)
+    return prog(tuple(polys), eq_tbl)
 
 
 def sharded_bind(
@@ -210,23 +235,27 @@ def sharded_bind(
 ):
     """Bind the lowest variable locally on every shard (pairs stay local)."""
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
-        out_specs=tuple(PSpec(AXIS) for _ in polys),
-    )
-    def step(polys_l, t_l):
-        return tuple(
-            fl.add(
-                spec,
-                p[0::2],
-                fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
-            )
-            for p in polys_l
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
+            out_specs=tuple(PSpec(AXIS) for _ in polys),
         )
+        def step(polys_l, t_l):
+            return tuple(
+                fl.add(
+                    spec,
+                    p[0::2],
+                    fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
+                )
+                for p in polys_l
+            )
 
-    return list(jax.jit(step)(tuple(polys), t))
+        return step
+
+    prog = _cached_jit(("bind", mesh, spec.name, len(polys)), build)
+    return list(prog(tuple(polys), t))
 
 
 def sharded_bind_repad(
@@ -237,24 +266,28 @@ def sharded_bind_repad(
     preserved, the logical prefix halves, and the program shape is FIXED
     (one SPMD compile per poly count, regardless of round)."""
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
-        out_specs=tuple(PSpec(AXIS) for _ in polys),
-    )
-    def step(polys_l, t_l):
-        out = []
-        for p in polys_l:
-            b = fl.add(
-                spec,
-                p[0::2],
-                fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
-            )
-            out.append(jnp.concatenate([b, jnp.zeros_like(b)], axis=0))
-        return tuple(out)
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
+            out_specs=tuple(PSpec(AXIS) for _ in polys),
+        )
+        def step(polys_l, t_l):
+            out = []
+            for p in polys_l:
+                b = fl.add(
+                    spec,
+                    p[0::2],
+                    fl.mul(spec, t_l[None], fl.sub(spec, p[1::2], p[0::2])),
+                )
+                out.append(jnp.concatenate([b, jnp.zeros_like(b)], axis=0))
+            return tuple(out)
 
-    return list(jax.jit(step)(tuple(polys), t))
+        return step
+
+    prog = _cached_jit(("bind_repad", mesh, spec.name, len(polys)), build)
+    return list(prog(tuple(polys), t))
 
 
 class ShardedSumcheckObject:
@@ -394,19 +427,26 @@ def sharded_plain_round(
 
     n_dev = mesh.devices.size
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
-        out_specs=PSpec(),
-    )
-    def step(polys_l, gammas_l):
-        sums_local = _plain_round_multi(
-            spec, fn, with_eq, total_deg, tuple(polys_l), gammas_l
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(tuple(PSpec(AXIS) for _ in polys), PSpec()),
+            out_specs=PSpec(),
         )
-        return _psum_field(spec, sums_local, AXIS, n_dev)
+        def step(polys_l, gammas_l):
+            sums_local = _plain_round_multi(
+                spec, fn, with_eq, total_deg, tuple(polys_l), gammas_l
+            )
+            return _psum_field(spec, sums_local, AXIS, n_dev)
 
-    return jax.jit(step)(tuple(polys), gammas)
+        return step
+
+    prog = _cached_jit(
+        ("plain_round", mesh, spec.name, fn, with_eq, total_deg, len(polys)),
+        build,
+    )
+    return prog(tuple(polys), gammas)
 
 
 class ShardedPlainSumcheckObject:
@@ -578,37 +618,45 @@ def sharded_rect_round_sums(
 
     n_dev = mesh.devices.size
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            tuple(PSpec(AXIS, None, None) for _ in datas),
-            PSpec(),
-            PSpec(AXIS, None),
-        ),
-        out_specs=PSpec(),
-    )
-    def step(datas_l, eq_l, rc_l):
-        sums_local = _round_sums_rect(spec, tuple(datas_l), fn, eq_l, rc_l)
-        return _psum_field(spec, sums_local, AXIS, n_dev)
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                tuple(PSpec(AXIS, None, None) for _ in datas),
+                PSpec(),
+                PSpec(AXIS, None),
+            ),
+            out_specs=PSpec(),
+        )
+        def step(datas_l, eq_l, rc_l):
+            sums_local = _round_sums_rect(spec, tuple(datas_l), fn, eq_l, rc_l)
+            return _psum_field(spec, sums_local, AXIS, n_dev)
 
-    return jax.jit(step)(tuple(datas), eq_seg, row_coefs)
+        return step
+
+    prog = _cached_jit(("rect_round", mesh, spec.name, fn, len(datas)), build)
+    return prog(tuple(datas), eq_seg, row_coefs)
 
 
 def sharded_rect_bind(mesh: Mesh, spec: FieldSpec, datas, t: jnp.ndarray):
     """Bind the lowest row variable: capacity pairs are shard-local."""
     from ..models.sumcheck import _bind_rect
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(tuple(PSpec(AXIS, None, None) for _ in datas), PSpec()),
-        out_specs=tuple(PSpec(AXIS, None, None) for _ in datas),
-    )
-    def step(datas_l, t_l):
-        return _bind_rect(spec, tuple(datas_l), t_l)
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(tuple(PSpec(AXIS, None, None) for _ in datas), PSpec()),
+            out_specs=tuple(PSpec(AXIS, None, None) for _ in datas),
+        )
+        def step(datas_l, t_l):
+            return _bind_rect(spec, tuple(datas_l), t_l)
 
-    return jax.jit(step)(tuple(datas), t)
+        return step
+
+    prog = _cached_jit(("rect_bind", mesh, spec.name, len(datas)), build)
+    return prog(tuple(datas), t)
 
 
 class ShardedRectSumcheckObject:
@@ -659,51 +707,69 @@ class ShardedRectSumcheckObject:
 
 # -----------------------------------------------------------------------------
 # sharded Pippenger MSM: points sharded, per-shard bucket grids, cross-shard
-# bucket reduction via one all_gather + log-tree add (SURVEY.md §2.12 psum
-# bucket partial sums; group elements aren't integer-psum-able, so the
-# collective is an all_gather of (2^c, 3, L) partials + batched adds)
+# bucket reduction via resharding + a replicated log-tree add (SURVEY.md
+# §2.12 psum bucket partial sums; group elements aren't integer-psum-able).
+# The cross-shard combine deliberately happens OUTSIDE the SPMD program:
+# an in-program lax.all_gather blocks its worker thread in a rendezvous,
+# and on a virtual CPU mesh with fewer host cores than devices the pool
+# starves and the remaining device programs never start — a hard DEADLOCK
+# (the real root cause behind the driver dryrun timeouts in rounds 1-4).
+# Resharding runs on the runtime's copy engine (ICI-efficient on real TPU
+# meshes), with the tiny (D, 2^c) bucket tree added replicated.
 # -----------------------------------------------------------------------------
 
 def sharded_bucket_partials(
     mesh: Mesh, grid_points: jnp.ndarray, n_buckets: int
 ) -> jnp.ndarray:
     """(D*n_buckets, cap, 3, L) per-shard grids -> (n_buckets, 3, L) bucket
-    sums, reduced across shards inside the program."""
+    sums: shard-local capacity tree (no collectives), reshard to replicated,
+    then a replicated tree over the shard axis."""
     from ..ops.curve import bls12381 as g1
 
     n_dev = mesh.devices.size
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(PSpec(AXIS, None, None, None),),
-        out_specs=PSpec(),
-        # the all_gather + local tree-add leaves every shard with the same
-        # bucket sums; the static varying-axes checker can't see that
-        check_vma=False,
-    )
-    def step(grid_l):
-        pts = grid_l
-        while pts.shape[1] > 1:
-            if pts.shape[1] % 2:
-                pts = jnp.concatenate(
-                    [pts, g1.g1_neutral((pts.shape[0], 1))], axis=1
-                )
-            pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
-        partial = pts[:, 0]  # (n_buckets, 3, L) this shard's partial sums
-        allp = jax.lax.all_gather(partial, AXIS)  # (D, n_buckets, 3, L)
-        m = allp.shape[0]
-        while m > 1:
-            if m % 2 == 1:
-                allp = jnp.concatenate(
-                    [allp, g1.g1_neutral((1, allp.shape[1]))], axis=0
-                )
-                m += 1
-            allp = g1.g1_add(allp[0::2], allp[1::2])
-            m //= 2
-        return allp[0]
+    def build_local():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(PSpec(AXIS, None, None, None),),
+            out_specs=PSpec(AXIS, None, None),
+        )
+        def step(grid_l):
+            pts = grid_l
+            while pts.shape[1] > 1:
+                if pts.shape[1] % 2:
+                    pts = jnp.concatenate(
+                        [pts, g1.g1_neutral((pts.shape[0], 1))], axis=1
+                    )
+                pts = g1.g1_add(pts[:, 0::2], pts[:, 1::2])
+            return pts[:, 0]  # (n_buckets, 3, L) this shard's partial sums
 
-    return jax.jit(step)(grid_points)
+        return step
+
+    prog = _cached_jit(("msm_buckets", mesh, n_buckets, grid_points.shape), build_local)
+    partials = prog(grid_points)  # (D*n_buckets, 3, L) sharded
+
+    def build_combine():
+        def combine(allp):  # (D, n_buckets, 3, L) replicated
+            m = allp.shape[0]
+            while m > 1:
+                if m % 2 == 1:
+                    allp = jnp.concatenate(
+                        [allp, g1.g1_neutral((1, allp.shape[1]))], axis=0
+                    )
+                    m += 1
+                allp = g1.g1_add(allp[0::2], allp[1::2])
+                m //= 2
+            return allp[0]
+
+        return combine
+
+    allp = replicate(mesh, partials).reshape(
+        n_dev, n_buckets, 3, grid_points.shape[-1]
+    )
+    prog2 = _cached_jit(("msm_combine", mesh, n_buckets, allp.shape), build_combine)
+    return prog2(allp)
 
 
 def sharded_msm_device(
@@ -779,16 +845,20 @@ def sharded_msm_device(
 def _sharded_gather(mesh: Mesh, pts_ext: jnp.ndarray, grid: jnp.ndarray, per_ext: int):
     """Local gather: each shard indexes only its own point slice."""
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(PSpec(AXIS, None, None), PSpec(AXIS, None)),
-        out_specs=PSpec(AXIS, None, None, None),
-    )
-    def step(pts_l, grid_l):
-        base = jax.lax.axis_index(AXIS) * per_ext
-        return jnp.take(pts_l, grid_l - base, axis=0)
+    def build():
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(PSpec(AXIS, None, None), PSpec(AXIS, None)),
+            out_specs=PSpec(AXIS, None, None, None),
+        )
+        def step(pts_l, grid_l):
+            base = jax.lax.axis_index(AXIS) * per_ext
+            return jnp.take(pts_l, grid_l - base, axis=0)
 
-    return jax.jit(step)(pts_ext, grid)
+        return step
+
+    prog = _cached_jit(("msm_gather", mesh, per_ext), build)
+    return prog(pts_ext, grid)
 
 

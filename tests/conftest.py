@@ -15,6 +15,13 @@ workers, and on machines you control `sysctl -w vm.max_map_count=1048576`.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# 8 virtual devices on few host cores: XLA:CPU's 40 s collective-rendezvous
+# deadline can SIGABRT a collective whose sibling device threads are stuck
+# compiling — raise it (must be set before jax/xla initialization)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+).strip()
 
 import jax
 

@@ -20,7 +20,8 @@ from gkr_msm_tpu.utils.transcript import Transcript
 EXPECTED_PROOF_BYTES = {
     (2, 4, 8, 1): 15616,
     (2, 4, 10, 1): 18240,
-    (4, 6, 32, 0): None,  # pinned after the round-4 measurement run
+    # pinned from the round-5 TPU measurement runs (msm_equality held)
+    (4, 6, 32, 0): 38560,
     (6, 12, 128, 0): None,
 }
 
