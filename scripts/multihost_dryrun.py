@@ -117,6 +117,8 @@ def worker_pipeline(process_id: int, port: int) -> int:
     )
     import random
 
+    import numpy as np
+
     sys.path.insert(0, REPO)
     from gkr_msm_tpu.models.pippenger import (
         build_pippenger_data,
@@ -142,6 +144,18 @@ def worker_pipeline(process_id: int, port: int) -> int:
         tr = Transcript(b"mh-pipe")
         out = run_pippenger(tr, data)
         proof = tr.end()
+    # the mesh prove leaves the output tables as GLOBAL arrays (shards on
+    # the other process are non-addressable); gather them to host so the
+    # verifier's decode can read them — all hosts participate in the
+    # collective, then only proc 0 runs the host-side verification
+    from jax.experimental import multihost_utils as mhu
+
+    out.output = [
+        np.asarray(mhu.process_allgather(o, tiled=True))
+        if isinstance(o, jax.Array) and not o.is_fully_addressable
+        else np.asarray(o)
+        for o in out.output
+    ]
     if process_id == 0:  # verify once (host-side; identical on both)
         expected = bs.Host.msm(data.coefs, data.points)
         tv = Transcript(b"mh-pipe", proof=proof)

@@ -22,8 +22,12 @@ def test_two_process_proofs_identical():
 
 def test_two_process_pipeline_proofs_identical():
     """Full (tiny) Pippenger prove across 2 jax.distributed processes:
-    proof bytes must equal the single-process prover's (VERDICT r3 task 7).
-    Slow tier: the pipeline compile sweep runs twice (once per process)."""
+    the two processes' proof bytes must be identical, and process 0
+    verifies (incl. the recombined-MSM equality check).  Slow tier: the
+    mesh-pipeline compile sweep runs in both workers concurrently.
+    Recorded pass: 26:06 min cold on the 4-core round-5 builder host
+    (2026-08-21), after the sharded-program memoization + all_gather
+    deadlock fixes; it had never completed before those."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     out = subprocess.run(

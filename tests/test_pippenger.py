@@ -20,9 +20,11 @@ from gkr_msm_tpu.utils.transcript import Transcript
 EXPECTED_PROOF_BYTES = {
     (2, 4, 8, 1): 15616,
     (2, 4, 10, 1): 18240,
-    # pinned from the round-5 TPU measurement runs (msm_equality held)
+    # pinned from the round-5 TPU measurement runs (msm_equality held);
+    # the canonical (8, 16, 128, 0) config measured 162112 bytes
+    # (artifacts/canonical_x16_d8_n128.json)
     (4, 6, 32, 0): 38560,
-    (6, 12, 128, 0): None,
+    (6, 12, 128, 0): 111840,
 }
 
 
